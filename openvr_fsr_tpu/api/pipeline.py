@@ -1,0 +1,254 @@
+"""The post-processing pipeline — JAX analog of vr::PostProcessor.
+
+Reference orchestration being reproduced (src/postprocess/PostProcessor.cpp):
+  - output sizing: rs<1 -> out=in/rs, rs>=1 -> out=in*rs  (:512-518)
+  - stage truth table: upscale iff rs!=1; sharpen iff (!NIS || rs==1)
+    (:530-535, 586-594)
+  - per-eye constant buffers with projection-centred foveation circles
+    (:293-310, 416-430)
+  - every stage writes to a UNORM texture (RGBA8, or R10G10B10A2 passthrough
+    for 10-bit inputs), so the EASU->RCAS handoff is quantized (:527, 63-74)
+  - lazy per-(shape,config) resource creation = jit cache keyed the same way
+    (:136-153); `Reset()` = dropping the cache
+
+A `Pipeline` is stateful like the reference PostProcessor (including the
+hotkey-style runtime mutators); `upscale()` is the one-shot functional form.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config
+from ..core import constants as C
+from ..core import foveation as fov
+from ..core.projection import default_centers
+from ..ops.easu import easu_jax
+from ..ops.rcas import rcas_jax
+from ..ops.bilinear import bilinear_fallback_fsr_jax
+from ..ops.nis import nvscaler_jax, nvsharpen_jax
+from ..utils.frames import to_planar, from_planar
+from ..utils.log import get_logger
+from ..utils.timing import GpuTimer
+
+__all__ = ["Pipeline", "upscale"]
+
+F32 = np.float32
+
+
+def _tint(debug):
+    """Out-of-radius debug tint: 1 - debug*(0, 0.3, 0.3, 0)
+    (fsr_rcas.hlsl:46, NIS DirectCopy)."""
+    d = 1.0 if debug else 0.0
+    return np.array([1.0, 1.0 - 0.3 * d, 1.0 - 0.3 * d, 1.0], np.float32)
+
+
+class Pipeline:
+    """Stateful stereo post-processing pipeline.
+
+    Args:
+      config: Config (render_scale / sharpness / use_nis / radius / debug_mode).
+      eye_centers: ((lx,ly),(rx,ry)) normalized projection centres; defaults to
+        image centres (symmetric projection, no cant).
+      single_eye_per_frame: True = each batch entry is one eye (the reference's
+        textureContainsOnlyOneEye); False = double-wide frames holding both.
+      color_bits: None = auto (8); 10 emulates the R10G10B10A2 passthrough.
+    """
+
+    def __init__(self, config: Config = None, eye_centers=None,
+                 single_eye_per_frame=True, color_bits=None):
+        self.config = config or Config(enabled=True)
+        self.eye_centers = eye_centers or default_centers()
+        self.single_eye_per_frame = single_eye_per_frame
+        self.color_bits = int(color_bits or 8)
+        self.alpha_bits = 8 if self.color_bits == 8 else 2
+        self._cache = {}
+        self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
+        self._log = get_logger()
+
+    # --- reference hotkey actions (PostProcessor.cpp:659-716) ---------------
+    def reset(self):
+        """Drop compiled resources (PostProcessor::Reset analog)."""
+        self._cache.clear()
+
+    def toggle_nis(self):
+        self.config = self.config.with_(use_nis=not self.config.use_nis)
+        self._log.info("Now using %s", "NIS" if self.config.use_nis else "FSR")
+        self.reset()
+
+    def toggle_debug(self):
+        self.config = self.config.with_(debug_mode=not self.config.debug_mode)
+        self._log.info("Debug mode is now %s",
+                       "enabled" if self.config.debug_mode else "disabled")
+        self.reset()
+
+    def adjust_sharpness(self, delta):
+        s = max(self.config.sharpness + delta, 0.0)
+        self.config = self.config.with_(sharpness=s)
+        self._log.info("Sharpness is now at %g", s)
+        self.reset()
+
+    def adjust_radius(self, delta):
+        r = max(self.config.radius + delta, 0.0)
+        self.config = self.config.with_(radius=r)
+        self._log.info("Sharpening radius is now at %g", r)
+        self.reset()
+
+    # -------------------------------------------------------------------------
+    def output_size(self, in_w, in_h):
+        return self.config.output_size(in_w, in_h)
+
+    def _masks(self, out_w, out_h, tile, eyes):
+        """Per-batch-entry pixel masks for one stage."""
+        pl, pr = self.eye_centers
+        masks = []
+        if self.single_eye_per_frame:
+            per_eye = {}
+            for e in set(eyes):
+                fc = C.foveation_constants(out_w, out_h, self.config.radius,
+                                           pl, pr, True, e)
+                per_eye[e] = fov.pixel_mask(out_w, out_h, tile,
+                                            (fc.centre_left, fc.centre_right),
+                                            fc.radius_sq)
+            masks = [per_eye[e] for e in eyes]
+        else:
+            fc = C.foveation_constants(out_w, out_h, self.config.radius,
+                                       pl, pr, False)
+            m = fov.pixel_mask(out_w, out_h, tile,
+                               (fc.centre_left, fc.centre_right), fc.radius_sq)
+            masks = [m for _ in eyes]
+        return np.stack(masks)
+
+    def _build(self, b, h, w, eyes):
+        cfg = self.config
+        out_w, out_h = cfg.output_size(w, h)
+        do_up, do_sh = cfg.stage_plan()
+        color_bits = self.color_bits
+        alpha_bits = self.alpha_bits
+        tint = _tint(cfg.debug_mode)
+        cscale = F32((1 << color_bits) - 1)
+        ascale = F32((1 << alpha_bits) - 1)
+
+        stages = []
+
+        if do_up:
+            up_tile = fov.TILE_NIS_SCALER if cfg.use_nis else fov.TILE_FSR
+            mask_up = jnp.asarray(self._masks(out_w, out_h, up_tile, eyes))
+            if cfg.use_nis:
+                nis_cfg = C.nvscaler_update_config(
+                    cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
+                if not nis_cfg.valid:
+                    self._log.info(
+                        "NIS scale factor outside the supported 0.5..1.0 window "
+                        "(NIS_Config.h:226) — output follows the reference anyway")
+
+                def nis_up(rgba, mask):
+                    out = nvscaler_jax(rgba, out_w, out_h, nis_cfg)
+                    fb_rgb = bilinear_fallback_fsr_jax(rgba[:3], out_w, out_h)
+                    fb = jnp.concatenate(
+                        [fb_rgb, jnp.ones((1, out_h, out_w), jnp.float32)], axis=0)
+                    fb = fb * jnp.asarray(tint)[:, None, None]
+                    return jnp.where(mask[None], out, fb)
+
+                stages.append(("quantized_stage", jax.vmap(nis_up), mask_up))
+            else:
+                con = C.fsr_easu_con(w, h, w, h, out_w, out_h)
+
+                def fsr_up(rgba, mask):
+                    up = easu_jax(rgba[:3], out_w, out_h, con)
+                    fb = bilinear_fallback_fsr_jax(rgba[:3], out_w, out_h)
+                    rgb = jnp.where(mask[None], up, fb)
+                    alpha = jnp.ones((1, out_h, out_w), jnp.float32)
+                    return jnp.concatenate([rgb, alpha], axis=0)
+
+                stages.append(("quantized_stage", jax.vmap(fsr_up), mask_up))
+
+        if do_sh:
+            sh_tile = fov.TILE_NIS_SHARPEN if cfg.use_nis else fov.TILE_FSR
+            mask_sh = jnp.asarray(self._masks(out_w, out_h, sh_tile, eyes))
+            if cfg.use_nis:
+                nis_cfg_sh = C.nvsharpen_update_config(
+                    cfg.sharpness, out_w, out_h, out_w, out_h)
+
+                def nis_sh(rgba, mask):
+                    out = nvsharpen_jax(rgba, nis_cfg_sh)
+                    fb = jnp.concatenate(
+                        [rgba[:3], jnp.ones((1, out_h, out_w), jnp.float32)], axis=0)
+                    fb = fb * jnp.asarray(tint)[:, None, None]
+                    return jnp.where(mask[None], out, fb)
+
+                stages.append(("quantized_stage", jax.vmap(nis_sh), mask_sh))
+            else:
+                sharp = C.fsr_rcas_con(C.rcas_stops_from_slider(cfg.sharpness))
+
+                def fsr_sh(rgba, mask):
+                    sh = rcas_jax(rgba[:3], sharp)
+                    fb = rgba * jnp.asarray(tint)[:, None, None]
+                    rgb = jnp.where(mask[None], sh, fb[:3])
+                    alpha = jnp.where(mask[None], jnp.float32(1.0), fb[3:4])
+                    return jnp.concatenate([rgb, alpha], axis=0)
+
+                stages.append(("quantized_stage", jax.vmap(fsr_sh), mask_sh))
+
+        def run(frames):
+            x = to_planar(frames, color_bits)
+            for idx, (_, stage, mask) in enumerate(stages):
+                x = stage(x, mask)
+                if idx < len(stages) - 1:
+                    # Intermediate UNORM texture round-trip (PostProcessor.cpp:527)
+                    col = jnp.round(jnp.clip(x[:, :3], 0.0, 1.0) * cscale) / cscale
+                    alp = jnp.round(jnp.clip(x[:, 3:], 0.0, 1.0) * ascale) / ascale
+                    x = jnp.concatenate([col, alp], axis=1)
+            return from_planar(x, color_bits, alpha_bits)
+
+        return jax.jit(run)
+
+    def process(self, frames, eyes=None):
+        """frames: (B, H, W, 4) or (H, W, 4) uint8 (or uint16 for 10-bit).
+        eyes: per-entry eye index (default alternating 0,1,...). Returns the
+        processed frames at output resolution, same integer dtype."""
+        if not self.config.enabled:
+            return frames
+        squeeze = hasattr(frames, "ndim") and frames.ndim == 3
+        shape = frames.shape if not squeeze else (1,) + frames.shape
+        b, h, w = shape[0], shape[1], shape[2]
+        if eyes is None:
+            eyes = tuple(i % 2 for i in range(b))
+        else:
+            eyes = tuple(int(e) for e in eyes)
+        key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits)
+        fn = self._cache.get(key)
+        if fn is None:
+            self._log.info(
+                "Creating post-processing resources: %dx%d -> %s (%s)",
+                w, h, self.config.output_size(w, h),
+                "NIS" if self.config.use_nis else "FSR")
+            fn = self._build(b, h, w, eyes)
+            self._cache[key] = fn
+        inp = frames[None] if squeeze else frames
+        if self.config.debug_mode:
+            out = self.timer.measure(fn, inp)
+        else:
+            out = fn(inp)
+        return out[0] if squeeze else out
+
+
+def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
+            eye_centers=None, debug=False, eyes=None, color_bits=None,
+            single_eye_per_frame=True):
+    """One-shot functional API.
+
+    frame: (H, W, 4) or (B, H, W, 4) uint8 RGBA (uint16 for 10-bit).
+    render_scale: <1 upscales by 1/rs; >1 supersamples by rs; 1/None = sharpen
+    only. Other args mirror openvr_mod.cfg keys. Returns processed frame(s).
+    """
+    cfg = Config(enabled=True, use_nis=use_nis,
+                 render_scale=1.0 if render_scale is None else float(render_scale),
+                 sharpness=float(sharpness), radius=float(radius),
+                 debug_mode=bool(debug))
+    pipe = Pipeline(cfg, eye_centers=eye_centers,
+                    single_eye_per_frame=single_eye_per_frame,
+                    color_bits=color_bits)
+    return pipe.process(frame, eyes=eyes)

@@ -1,0 +1,142 @@
+"""EASU on XLA: planar (3, H, W) channels, static gather maps.
+
+Math is a line-faithful port of FsrEasuF (reference src/fsr/ffx_fsr1.h:315-437)
+— see oracle/easu.py for the tap-footprint derivation. The gather of the 12
+taps is separable (row map depends only on the output row, column map only on
+the output column), so each tap is two static `take`s baked at trace time.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .common import F32, aprx_lo_rcp, aprx_lo_rsq, rcp, sat, min3, max3
+
+__all__ = ["easu_jax", "easu_index_maps"]
+
+_TAP_ORDER = [  # exact FsrEasuF accumulation order (ffx_fsr1.h:423-434)
+    (0, -1), (1, -1), (-1, 1), (0, 1), (0, 0), (-1, 0),
+    (1, 1), (2, 1), (2, 0), (1, 0), (1, 2), (0, 2),
+]
+
+
+def easu_index_maps(in_w, in_h, out_w, out_h, con0):
+    """Static (numpy) per-axis index and fraction maps.
+
+    Returns (fxi, fyi, ppx, ppy): int64 floor maps and f32 fractions, where
+    pp = ip*con0.xy + con0.zw (ffx_fsr1.h:324-326)."""
+    ix = np.arange(out_w, dtype=np.float32)
+    iy = np.arange(out_h, dtype=np.float32)
+    ppx = ix * con0[0] + con0[2]
+    ppy = iy * con0[1] + con0[3]
+    fpx = np.floor(ppx)
+    fpy = np.floor(ppy)
+    return (
+        fpx.astype(np.int64),
+        fpy.astype(np.int64),
+        (ppx - fpx).astype(np.float32),
+        (ppy - fpy).astype(np.float32),
+    )
+
+
+def easu_jax(rgb, out_w, out_h, con):
+    """rgb: (3, H_in, W_in) f32 in [0,1]. con: fsr_easu_con tuple (numpy).
+    Returns (3, out_h, out_w) f32."""
+    con0 = np.asarray(con[0], np.float32)
+    _, h_in, w_in = rgb.shape
+    fxi, fyi, ppx_np, ppy_np = easu_index_maps(w_in, h_in, out_w, out_h, con0)
+    ppx = jnp.asarray(ppx_np)[None, :]          # (1, Wo)
+    ppy = jnp.asarray(ppy_np)[:, None]          # (Ho, 1)
+
+    def tap(dx, dy):
+        ys = np.clip(fyi + dy, 0, h_in - 1)
+        xs = np.clip(fxi + dx, 0, w_in - 1)
+        return jnp.take(jnp.take(rgb, ys, axis=1), xs, axis=2)  # (3, Ho, Wo)
+
+    taps = {off: tap(*off) for off in set(_TAP_ORDER)}
+
+    def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)
+        return c[2] * F32(0.5) + (c[0] * F32(0.5) + c[1])
+
+    L = {off: luma(taps[off]) for off in taps}
+    bL, cL = L[(0, -1)], L[(1, -1)]
+    eL, fL, gL, hL = L[(-1, 0)], L[(0, 0)], L[(1, 0)], L[(2, 0)]
+    iL, jL, kL, lL = L[(-1, 1)], L[(0, 1)], L[(1, 1)], L[(2, 1)]
+    nL, oL = L[(0, 2)], L[(1, 2)]
+
+    one = F32(1.0)
+
+    def easu_set(acc, which, lA, lB, lC, lD, lE):
+        dir_x, dir_y, length = acc
+        if which == "s":
+            w = (one - ppx) * (one - ppy)
+        elif which == "t":
+            w = ppx * (one - ppy)
+        elif which == "u":
+            w = (one - ppx) * ppy
+        else:
+            w = ppx * ppy
+        dc = lD - lC
+        cb = lC - lB
+        lenX = aprx_lo_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)))
+        dirX = lD - lB
+        dir_x = dir_x + dirX * w
+        lenX = sat(jnp.abs(dirX) * lenX)
+        length = length + (lenX * lenX) * w
+        ec = lE - lC
+        ca = lC - lA
+        lenY = aprx_lo_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)))
+        dirY = lE - lA
+        dir_y = dir_y + dirY * w
+        lenY = sat(jnp.abs(dirY) * lenY)
+        length = length + (lenY * lenY) * w
+        return dir_x, dir_y, length
+
+    z = jnp.zeros((out_h, out_w), jnp.float32)
+    acc = (z, z, z)
+    acc = easu_set(acc, "s", bL, eL, fL, gL, jL)
+    acc = easu_set(acc, "t", cL, fL, gL, hL, kL)
+    acc = easu_set(acc, "u", fL, iL, jL, kL, nL)
+    acc = easu_set(acc, "v", gL, jL, kL, lL, oL)
+    dir_x, dir_y, length = acc
+
+    dirR = dir_x * dir_x + dir_y * dir_y
+    zro = dirR < F32(1.0 / 32768.0)
+    dirR = aprx_lo_rsq(dirR)
+    dirR = jnp.where(zro, one, dirR)
+    dir_x = jnp.where(zro, one, dir_x)
+    dir_x = dir_x * dirR
+    dir_y = dir_y * dirR
+
+    length = length * F32(0.5)
+    length = length * length
+    stretch = (dir_x * dir_x + dir_y * dir_y) * aprx_lo_rcp(
+        jnp.maximum(jnp.abs(dir_x), jnp.abs(dir_y)))
+    len2_x = one + (stretch - one) * length
+    len2_y = one + F32(-0.5) * length
+    lob = F32(0.5) + F32((1.0 / 4.0 - 0.04) - 0.5) * length
+    clp = aprx_lo_rcp(lob)
+
+    cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
+    min4 = jnp.minimum(min3(cf, ck, cj), cg)
+    max4 = jnp.maximum(max3(cf, ck, cj), cg)
+
+    aC = jnp.zeros((3, out_h, out_w), jnp.float32)
+    aW = z
+    for dx, dy in _TAP_ORDER:
+        off_x = F32(float(dx)) - ppx
+        off_y = F32(float(dy)) - ppy
+        vx = off_x * dir_x + off_y * dir_y
+        vy = off_x * (-dir_y) + off_y * dir_x
+        vx = vx * len2_x
+        vy = vy * len2_y
+        d2 = jnp.minimum(vx * vx + vy * vy, clp)
+        wB = F32(2.0 / 5.0) * d2 + F32(-1.0)
+        wA = lob * d2 + F32(-1.0)
+        wB = wB * wB
+        wA = wA * wA
+        wB = F32(25.0 / 16.0) * wB + F32(-(25.0 / 16.0 - 1.0))
+        w = wB * wA
+        aC = aC + taps[(dx, dy)] * w[None]
+        aW = aW + w
+
+    return jnp.minimum(max4, jnp.maximum(min4, aC * rcp(aW)[None]))

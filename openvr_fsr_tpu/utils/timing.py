@@ -1,0 +1,66 @@
+"""Timing/profiling harness.
+
+TPU analog of the reference's debug-mode GPU timestamp-query ring
+(PostProcessor.h:72-83, PostProcessor.cpp:547-628): measure the device time of
+the dispatch with `block_until_ready`, keep a rolling average of 500 frames,
+and log "Average GPU processing time for upscale: X ms" at each rollover.
+"""
+
+import time
+
+import jax
+
+from .log import get_logger
+
+__all__ = ["GpuTimer", "bench_fn"]
+
+
+class GpuTimer:
+    """Rolling-average frame timer (500-sample window like the reference)."""
+
+    def __init__(self, window=500, scale_for_stereo=False):
+        self.window = window
+        self.scale_for_stereo = scale_for_stereo
+        self.summed = 0.0
+        self.count = 0
+        self.last_avg_ms = None
+
+    def measure(self, fn, *args):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        self.summed += time.perf_counter() - t0
+        self.count += 1
+        if self.count >= self.window:
+            avg_ms = 1000.0 / self.count * self.summed
+            if self.scale_for_stereo:
+                avg_ms *= 2  # per-eye frames: x2 like PostProcessor.cpp:621-622
+            self.last_avg_ms = avg_ms
+            get_logger().info(
+                "Average GPU processing time for upscale: %.4f ms", avg_ms)
+            self.count = 0
+            self.summed = 0.0
+        return out
+
+
+def bench_fn(fn, *args, warmup=3, iters=50, profile_dir=None):
+    """Time a jitted fn: returns (best_ms, avg_ms). Optionally writes a
+    jax.profiler trace."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    ctx = jax.profiler.trace(profile_dir) if profile_dir else _null()
+    with ctx:
+        for _ in range(iters):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*args))
+            times.append(time.perf_counter() - t0)
+    return min(times) * 1000.0, (sum(times) / len(times)) * 1000.0
+
+
+class _null:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,198 @@
+"""Pipeline orchestration: mode truth table, shapes, foveation, config,
+debug tint, capture — mirroring PostProcessor.cpp behavior."""
+
+import numpy as np
+import pytest
+
+from openvr_fsr_tpu import Config, Pipeline, upscale, load_config
+from openvr_fsr_tpu.core import constants as C
+from openvr_fsr_tpu.core import foveation as fov
+from openvr_fsr_tpu.utils import frames as FR
+
+
+class TestStagePlan:
+    # PostProcessor.cpp:530-535, 586-594
+    def test_fsr_downscale(self):
+        assert Config(render_scale=0.75).stage_plan() == (True, True)
+
+    def test_fsr_identity(self):
+        assert Config(render_scale=1.0).stage_plan() == (False, True)
+
+    def test_fsr_supersample(self):
+        assert Config(render_scale=1.3).stage_plan() == (True, True)
+
+    def test_nis_downscale(self):
+        assert Config(render_scale=0.75, use_nis=True).stage_plan() == (True, False)
+
+    def test_nis_identity(self):
+        assert Config(render_scale=1.0, use_nis=True).stage_plan() == (False, True)
+
+    def test_output_size(self):
+        # rs<1 divides; rs>1 multiplies (PostProcessor.cpp:512-518)
+        assert Config(render_scale=0.75).output_size(1683, 1869) == (2244, 2492)
+        assert Config(render_scale=1.3).output_size(2244, 2492) == (2917, 3239)
+        assert Config(render_scale=1.0).output_size(100, 200) == (100, 200)
+
+
+class TestConfigFile:
+    REF_CFG = """{
+      "fsr": {
+        // comment
+        "enabled": true,
+        "useNIS": false,
+        "renderScale": 0.77,
+        "sharpness": 0.9,
+        "radius": 0.5,
+        "applyMIPBias": true,
+        "debugMode": false,
+        "hotkeys": { "enabled": true, "toggleUseNIS": 112 }
+      }
+    }"""
+
+    def test_parses_commented_json(self):
+        cfg = load_config(text=self.REF_CFG)
+        assert cfg.enabled and not cfg.use_nis
+        assert cfg.render_scale == 0.77 and cfg.sharpness == 0.9
+        assert cfg.hotkeys.toggle_use_nis == 112
+
+    def test_negative_sharpness_clamped(self):
+        cfg = load_config(text='{"fsr": {"sharpness": -2}}')
+        assert cfg.sharpness == 0.0
+
+    def test_bad_file_gives_defaults(self):
+        cfg = load_config(text="not json {")
+        assert cfg == Config()
+
+    def test_reference_cfg_file_parses(self):
+        import pathlib
+        ref = pathlib.Path("/root/reference/src/openvr_mod.cfg")
+        if not ref.exists():
+            pytest.skip("reference tree not mounted")
+        cfg = load_config(path=ref)
+        assert cfg.enabled and cfg.render_scale == 0.77 and cfg.sharpness == 0.9
+
+
+class TestFoveationMask:
+    def test_radius_two_covers_everything(self):
+        fc = C.foveation_constants(128, 96, 2.0, (0.5, 0.5), (0.5, 0.5))
+        m = fov.pixel_mask(128, 96, fov.TILE_FSR, (fc.centre_left, fc.centre_right),
+                           fc.radius_sq)
+        assert m.all()
+
+    def test_radius_zero_covers_almost_nothing(self):
+        fc = C.foveation_constants(128, 96, 0.0, (0.5, 0.5), (0.5, 0.5))
+        m = fov.tile_mask(128, 96, fov.TILE_FSR, (fc.centre_left, fc.centre_right),
+                          fc.radius_sq)
+        assert m.sum() <= 1  # at most the exact-centre tile
+
+    def test_predicate_matches_bruteforce(self):
+        rng = np.random.default_rng(0)
+        for _ in range(20):
+            w, h = rng.integers(32, 300, 2)
+            cx, cy = rng.integers(0, 300, 2)
+            r2 = int(rng.integers(0, 90000))
+            m = fov.tile_mask(int(w), int(h), (16, 16), ((cx, cy), (cx, cy)), r2)
+            ty, tx = m.shape
+            for gy in range(ty):
+                for gx in range(tx):
+                    gcx, gcy = gx * 16 + 8, gy * 16 + 8
+                    want = (cx - gcx) ** 2 + (cy - gcy) ** 2 <= r2
+                    assert m[gy, gx] == want
+
+
+class TestPipelineEndToEnd:
+    def test_fsr_stereo_shapes_uint8(self):
+        frames = np.stack([FR.gradient_frame(96, 104), FR.noise_frame(96, 104)])
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=2.0)
+        out = np.asarray(Pipeline(cfg).process(frames))
+        assert out.shape == (2, 128, 138, 4) and out.dtype == np.uint8
+
+    def test_sharpen_only_keeps_size(self):
+        frame = FR.checkerboard_frame(64, 64)
+        out = np.asarray(upscale(frame, render_scale=1.0, sharpness=0.5, radius=2.0))
+        assert out.shape == (64, 64, 4)
+
+    def test_nis_scaler_path(self):
+        frame = FR.zone_plate_frame(72, 80)
+        out = np.asarray(upscale(frame, render_scale=0.8, use_nis=True, radius=2.0))
+        assert out.shape == (90, 100, 4)
+
+    def test_nis_sharpen_path(self):
+        frame = FR.zone_plate_frame(64, 64)
+        out = np.asarray(upscale(frame, render_scale=1.0, use_nis=True, radius=2.0))
+        assert out.shape == (64, 64, 4)
+
+    def test_matches_oracle_composition_fsr(self):
+        """Full pipeline vs oracle EASU -> quantize -> RCAS, radius=2."""
+        from openvr_fsr_tpu.oracle.easu import easu_oracle
+        from openvr_fsr_tpu.oracle.rcas import rcas_oracle
+
+        frame = FR.noise_frame(48, 56, seed=9)
+        rs, sharp = 0.75, 0.9
+        out_w, out_h = Config(render_scale=rs).output_size(56, 48)
+        img = frame[..., :3].astype(np.float32) / np.float32(255.0)
+        up = easu_oracle(img, out_w, out_h)
+        upq = FR.quantize_unorm(up)
+        sh = rcas_oracle(upq, C.fsr_rcas_con(C.rcas_stops_from_slider(sharp)))
+        want = np.rint(np.clip(sh, 0, 1) * 255).astype(np.uint8)
+
+        got = np.asarray(upscale(frame, render_scale=rs, sharpness=sharp, radius=2.0))
+        diff = np.abs(got[..., :3].astype(int) - want.astype(int))
+        import jax
+        if jax.default_backend() == "cpu":
+            assert diff.max() == 0  # bitwise parity on CPU XLA
+        else:
+            # TPU f32 division differs from IEEE by ~1 ulp; when an EASU value
+            # sits exactly on an 8-bit quantization boundary the intermediate
+            # texture flips 1 LSB and RCAS amplifies it. Bound: >=99.99% of
+            # pixels within 1 LSB, worst case bounded by the RCAS gain.
+            assert (diff <= 1).mean() >= 0.9999
+            assert diff.max() <= 16
+
+    def test_debug_tint_outside_radius(self):
+        frame = np.full((64, 64, 4), 200, np.uint8)
+        out_d = np.asarray(upscale(frame, render_scale=1.0, sharpness=0.0,
+                                   radius=0.0, debug=True))
+        # everything outside radius 0: G,B dimmed by 0.3
+        assert abs(int(out_d[32, 32, 1]) - round(200 * 0.7)) <= 1
+        assert out_d[32, 32, 0] == 200
+
+    def test_eye_masks_differ_for_offset_centers(self):
+        cfg = Config(enabled=True, render_scale=1.0, sharpness=0.9, radius=0.4)
+        pipe = Pipeline(cfg, eye_centers=((0.3, 0.5), (0.7, 0.5)))
+        frames = np.stack([FR.gradient_frame(96, 128)] * 2)
+        out = np.asarray(pipe.process(frames, eyes=(0, 1)))
+        assert not np.array_equal(out[0], out[1])  # different fovea positions
+
+    def test_pipeline_cache_and_reset(self):
+        cfg = Config(enabled=True, render_scale=0.75, radius=2.0)
+        pipe = Pipeline(cfg)
+        f = FR.gradient_frame(32, 32)
+        pipe.process(f)
+        assert len(pipe._cache) == 1
+        pipe.adjust_sharpness(+0.05)
+        assert len(pipe._cache) == 0  # hotkeys rebuild resources (Reset analog)
+
+    def test_disabled_passthrough(self):
+        f = FR.gradient_frame(16, 16)
+        out = Pipeline(Config(enabled=False)).process(f)
+        assert out is f
+
+
+class TestCapture:
+    def test_dds_roundtrip(self, tmp_path):
+        from openvr_fsr_tpu.api.capture import write_dds_rgba8, read_dds_rgba8
+
+        img = FR.noise_frame(20, 24)
+        p = tmp_path / "x.dds"
+        write_dds_rgba8(p, img)
+        assert np.array_equal(read_dds_rgba8(p), img)
+
+    def test_save_frame_filename_scheme(self, tmp_path):
+        from openvr_fsr_tpu.api.capture import save_frame
+
+        paths = save_frame(FR.noise_frame(8, 8), tmp_path, use_nis=False,
+                           sharpness=0.9, radius=0.5)
+        names = [p.name for p in paths]
+        assert any(n.startswith("capture_") and n.endswith("_fsr_s90_r50.dds")
+                   for n in names)
