@@ -58,15 +58,21 @@ class Pipeline:
     """
 
     def __init__(self, config: Config = None, eye_centers=None,
-                 single_eye_per_frame=True, color_bits=None):
+                 single_eye_per_frame=True, color_bits=None, backend="auto"):
         self.config = config or Config(enabled=True)
         self.eye_centers = eye_centers or default_centers()
         self.single_eye_per_frame = single_eye_per_frame
         self.color_bits = int(color_bits or 8)
         self.alpha_bits = 8 if self.color_bits == 8 else 2
+        self.backend = backend  # auto | pallas | xla | pallas-interpret
         self._cache = {}
         self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
         self._log = get_logger()
+
+    def _resolve_backend(self):
+        if self.backend == "auto":
+            return "pallas" if jax.default_backend() == "tpu" else "xla"
+        return self.backend
 
     # --- reference hotkey actions (PostProcessor.cpp:659-716) ---------------
     def reset(self):
@@ -121,10 +127,57 @@ class Pipeline:
             masks = [m for _ in eyes]
         return np.stack(masks)
 
+    def _centres_array(self, out_w, out_h, eyes):
+        """Per-batch-entry (cx1, cy1, cx2, cy2, radius_sq) i64 rows — the
+        imageCentre/radius cbuffer payload (PostProcessor.cpp:298-305)."""
+        pl_, pr_ = self.eye_centers
+        rows = []
+        if self.single_eye_per_frame:
+            per_eye = {}
+            for e in set(eyes):
+                fc = C.foveation_constants(out_w, out_h, self.config.radius,
+                                           pl_, pr_, True, e)
+                per_eye[e] = [*fc.centre_left, *fc.centre_right, fc.radius_sq]
+            rows = [per_eye[e] for e in eyes]
+        else:
+            fc = C.foveation_constants(out_w, out_h, self.config.radius,
+                                       pl_, pr_, False)
+            rows = [[*fc.centre_left, *fc.centre_right, fc.radius_sq]] * len(eyes)
+        return np.asarray(rows, np.int64)
+
+    def _build_fsr_fused(self, b, h, w, eyes, interpret):
+        """Fused Pallas EASU+RCAS path (kernels/fsr.py) — one launch for the
+        whole stereo batch, replacing the two-dispatch XLA pipeline."""
+        from ..kernels.fsr import build_fsr_fused
+
+        cfg = self.config
+        out_w, out_h = cfg.output_size(w, h)
+        fused = build_fsr_fused(
+            b, h, w, out_w, out_h, sharpness=cfg.sharpness,
+            centres=self._centres_array(out_w, out_h, eyes),
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+
+        def run(frames):
+            x = frames if frames.ndim == 4 else frames[None]
+            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))[:, :3]
+            rgb = fused(ints.astype(jnp.float32))
+            alpha = jnp.ones((b, 1, out_h, out_w), jnp.float32)
+            return from_planar(jnp.concatenate([rgb, alpha], axis=1),
+                               color_bits, alpha_bits)
+
+        return jax.jit(run)
+
     def _build(self, b, h, w, eyes):
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
         do_up, do_sh = cfg.stage_plan()
+        backend = self._resolve_backend()
+        if (backend in ("pallas", "pallas-interpret") and not cfg.use_nis
+                and do_up and do_sh):
+            return self._build_fsr_fused(
+                b, h, w, eyes, interpret=(backend == "pallas-interpret"))
         color_bits = self.color_bits
         alpha_bits = self.alpha_bits
         tint = _tint(cfg.debug_mode)
@@ -197,9 +250,13 @@ class Pipeline:
             for idx, (_, stage, mask) in enumerate(stages):
                 x = stage(x, mask)
                 if idx < len(stages) - 1:
-                    # Intermediate UNORM texture round-trip (PostProcessor.cpp:527)
-                    col = jnp.round(jnp.clip(x[:, :3], 0.0, 1.0) * cscale) / cscale
-                    alp = jnp.round(jnp.clip(x[:, 3:], 0.0, 1.0) * ascale) / ascale
+                    # Intermediate UNORM texture round-trip (PostProcessor.cpp:527).
+                    # Decode is multiply-by-reciprocal — the framework-wide UNORM
+                    # convention (utils.frames.quantize_unorm / to_planar).
+                    col = jnp.round(jnp.clip(x[:, :3], 0.0, 1.0) * cscale) * (
+                        F32(1.0) / cscale)
+                    alp = jnp.round(jnp.clip(x[:, 3:], 0.0, 1.0) * ascale) * (
+                        F32(1.0) / ascale)
                     x = jnp.concatenate([col, alp], axis=1)
             return from_planar(x, color_bits, alpha_bits)
 
@@ -218,7 +275,8 @@ class Pipeline:
             eyes = tuple(i % 2 for i in range(b))
         else:
             eyes = tuple(int(e) for e in eyes)
-        key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits)
+        key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits,
+               self._resolve_backend())
         fn = self._cache.get(key)
         if fn is None:
             self._log.info(
@@ -237,7 +295,7 @@ class Pipeline:
 
 def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
             eye_centers=None, debug=False, eyes=None, color_bits=None,
-            single_eye_per_frame=True):
+            single_eye_per_frame=True, backend="auto"):
     """One-shot functional API.
 
     frame: (H, W, 4) or (B, H, W, 4) uint8 RGBA (uint16 for 10-bit).
@@ -250,5 +308,5 @@ def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
                  debug_mode=bool(debug))
     pipe = Pipeline(cfg, eye_centers=eye_centers,
                     single_eye_per_frame=single_eye_per_frame,
-                    color_bits=color_bits)
+                    color_bits=color_bits, backend=backend)
     return pipe.process(frame, eyes=eyes)

@@ -11,50 +11,25 @@ import numpy as np
 
 from .common import F32, aprx_lo_rcp, aprx_lo_rsq, rcp, sat, min3, max3
 
-__all__ = ["easu_jax", "easu_index_maps"]
+__all__ = ["easu_jax", "easu_index_maps", "easu_core", "TAP_ORDER"]
 
 _TAP_ORDER = [  # exact FsrEasuF accumulation order (ffx_fsr1.h:423-434)
     (0, -1), (1, -1), (-1, 1), (0, 1), (0, 0), (-1, 0),
     (1, 1), (2, 1), (2, 0), (1, 0), (1, 2), (0, 2),
 ]
+TAP_ORDER = _TAP_ORDER
 
 
-def easu_index_maps(in_w, in_h, out_w, out_h, con0):
-    """Static (numpy) per-axis index and fraction maps.
+def easu_core(taps, ppx, ppy):
+    """The FsrEasuF math after the 12 taps are gathered (ffx_fsr1.h:363-437).
 
-    Returns (fxi, fyi, ppx, ppy): int64 floor maps and f32 fractions, where
-    pp = ip*con0.xy + con0.zw (ffx_fsr1.h:324-326)."""
-    ix = np.arange(out_w, dtype=np.float32)
-    iy = np.arange(out_h, dtype=np.float32)
-    ppx = ix * con0[0] + con0[2]
-    ppy = iy * con0[1] + con0[3]
-    fpx = np.floor(ppx)
-    fpy = np.floor(ppy)
-    return (
-        fpx.astype(np.int64),
-        fpy.astype(np.int64),
-        (ppx - fpx).astype(np.float32),
-        (ppy - fpy).astype(np.float32),
-    )
+    taps: dict (dx, dy) -> (C, h, w) f32 arrays for the 12 offsets in
+    TAP_ORDER. ppx/ppy: f32 fractional coordinates broadcastable against
+    (h, w) — typically (1, w) and (h, 1). Pure jnp, so it runs identically
+    under XLA and inside a Pallas kernel (same f32 op ordering as the HLSL).
+    Returns the dering-clamped (C, h, w) RGB."""
 
-
-def easu_jax(rgb, out_w, out_h, con):
-    """rgb: (3, H_in, W_in) f32 in [0,1]. con: fsr_easu_con tuple (numpy).
-    Returns (3, out_h, out_w) f32."""
-    con0 = np.asarray(con[0], np.float32)
-    _, h_in, w_in = rgb.shape
-    fxi, fyi, ppx_np, ppy_np = easu_index_maps(w_in, h_in, out_w, out_h, con0)
-    ppx = jnp.asarray(ppx_np)[None, :]          # (1, Wo)
-    ppy = jnp.asarray(ppy_np)[:, None]          # (Ho, 1)
-
-    def tap(dx, dy):
-        ys = np.clip(fyi + dy, 0, h_in - 1)
-        xs = np.clip(fxi + dx, 0, w_in - 1)
-        return jnp.take(jnp.take(rgb, ys, axis=1), xs, axis=2)  # (3, Ho, Wo)
-
-    taps = {off: tap(*off) for off in set(_TAP_ORDER)}
-
-    def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)
+    def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)  (ffx_fsr1.h:363-366)
         return c[2] * F32(0.5) + (c[0] * F32(0.5) + c[1])
 
     L = {off: luma(taps[off]) for off in taps}
@@ -91,7 +66,7 @@ def easu_jax(rgb, out_w, out_h, con):
         length = length + (lenY * lenY) * w
         return dir_x, dir_y, length
 
-    z = jnp.zeros((out_h, out_w), jnp.float32)
+    z = jnp.zeros(jnp.broadcast_shapes(fL.shape, (ppx * ppy).shape), jnp.float32)
     acc = (z, z, z)
     acc = easu_set(acc, "s", bL, eL, fL, gL, jL)
     acc = easu_set(acc, "t", cL, fL, gL, hL, kL)
@@ -120,7 +95,7 @@ def easu_jax(rgb, out_w, out_h, con):
     min4 = jnp.minimum(min3(cf, ck, cj), cg)
     max4 = jnp.maximum(max3(cf, ck, cj), cg)
 
-    aC = jnp.zeros((3, out_h, out_w), jnp.float32)
+    aC = jnp.zeros(taps[(0, 0)].shape[:-2] + z.shape, jnp.float32)
     aW = z
     for dx, dy in _TAP_ORDER:
         off_x = F32(float(dx)) - ppx
@@ -140,3 +115,40 @@ def easu_jax(rgb, out_w, out_h, con):
         aW = aW + w
 
     return jnp.minimum(max4, jnp.maximum(min4, aC * rcp(aW)[None]))
+
+
+def easu_index_maps(in_w, in_h, out_w, out_h, con0):
+    """Static (numpy) per-axis index and fraction maps.
+
+    Returns (fxi, fyi, ppx, ppy): int64 floor maps and f32 fractions, where
+    pp = ip*con0.xy + con0.zw (ffx_fsr1.h:324-326)."""
+    ix = np.arange(out_w, dtype=np.float32)
+    iy = np.arange(out_h, dtype=np.float32)
+    ppx = ix * con0[0] + con0[2]
+    ppy = iy * con0[1] + con0[3]
+    fpx = np.floor(ppx)
+    fpy = np.floor(ppy)
+    return (
+        fpx.astype(np.int64),
+        fpy.astype(np.int64),
+        (ppx - fpx).astype(np.float32),
+        (ppy - fpy).astype(np.float32),
+    )
+
+
+def easu_jax(rgb, out_w, out_h, con):
+    """rgb: (3, H_in, W_in) f32 in [0,1]. con: fsr_easu_con tuple (numpy).
+    Returns (3, out_h, out_w) f32."""
+    con0 = np.asarray(con[0], np.float32)
+    _, h_in, w_in = rgb.shape
+    fxi, fyi, ppx_np, ppy_np = easu_index_maps(w_in, h_in, out_w, out_h, con0)
+    ppx = jnp.asarray(ppx_np)[None, :]          # (1, Wo)
+    ppy = jnp.asarray(ppy_np)[:, None]          # (Ho, 1)
+
+    def tap(dx, dy):
+        ys = np.clip(fyi + dy, 0, h_in - 1)
+        xs = np.clip(fxi + dx, 0, w_in - 1)
+        return jnp.take(jnp.take(rgb, ys, axis=1), xs, axis=2)  # (3, Ho, Wo)
+
+    taps = {off: tap(*off) for off in set(_TAP_ORDER)}
+    return easu_core(taps, ppx, ppy)

@@ -11,7 +11,7 @@ import numpy as np
 
 from .common import F32, aprx_med_rcp, rcp, hlsl_min, hlsl_max, min3, max3, sat
 
-__all__ = ["rcas_jax"]
+__all__ = ["rcas_jax", "rcas_core"]
 
 RCAS_LIMIT = F32(0.25 - 1.0 / 16.0)
 
@@ -32,7 +32,13 @@ def rcas_jax(rgb, sharpness_linear, denoise=False):
     d = _shift_zero(rgb, -1, 0)
     f = _shift_zero(rgb, 1, 0)
     h = _shift_zero(rgb, 0, 1)
+    return rcas_core(b, d, e, f, h, sharpness_linear, denoise)
 
+
+def rcas_core(b, d, e, f, h, sharpness_linear, denoise=False):
+    """FsrRcasF (ffx_fsr1.h:684-769) given the 5 cross taps as (C, ...) f32
+    arrays (b=up, d=left, e=centre, f=right, h=down; out-of-image taps must
+    already be zero). Pure jnp — shared by the XLA op and the Pallas kernel."""
     mn4 = jnp.minimum(min3(b, d, f), h)   # per channel (3,H,W)
     mx4 = jnp.maximum(max3(b, d, f), h)
 

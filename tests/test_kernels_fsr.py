@@ -1,0 +1,72 @@
+"""Fused Pallas FSR kernel vs the XLA pipeline / NumPy oracle.
+
+On CPU the kernel runs in interpret mode: compiled-XLA FMA contraction makes
+the two paths differ at the ~1-ulp level pre-quantize, so parity is asserted
+at the quantized level with the same tier used for TPU XLA (>=99.9% of texels
+bit-equal, the rest within the RCAS-amplification bound). On real TPU
+(RUN_TPU=1) the compiled kernel is held to the same bound vs the oracle.
+"""
+
+import numpy as np
+import pytest
+
+from openvr_fsr_tpu import Config, Pipeline
+from openvr_fsr_tpu.core import constants as C
+from openvr_fsr_tpu.core.projection import default_centers
+from openvr_fsr_tpu.utils import frames as FR
+
+
+def _backend():
+    import jax
+    return "pallas" if jax.default_backend() == "tpu" else "pallas-interpret"
+
+
+def _run_pair(h, w, radius, rs=0.75, sharpness=0.9, debug=False, frames=None):
+    cfg = Config(enabled=True, render_scale=rs, sharpness=sharpness,
+                 radius=radius, debug_mode=debug)
+    if frames is None:
+        frames = np.stack([FR.zone_plate_frame(h, w),
+                           FR.noise_frame(h, w, seed=3)])
+    ref = Pipeline(cfg, backend="xla").process(frames, eyes=(0, 1))
+    got = Pipeline(cfg, backend=_backend()).process(frames, eyes=(0, 1))
+    return np.asarray(got).astype(int), np.asarray(ref).astype(int)
+
+
+def _assert_close(got, ref, frac=0.999, worst=16):
+    diff = np.abs(got - ref)
+    assert (diff == 0).mean() >= frac, (
+        f"only {(diff == 0).mean():.6f} bit-equal, max {diff.max()}")
+    assert diff.max() <= worst
+
+
+class TestFusedFsrKernel:
+    @pytest.mark.parametrize("radius", [2.0, 0.5, 0.0])
+    def test_matches_xla_pipeline(self, radius):
+        got, ref = _run_pair(96, 130, radius)
+        _assert_close(got, ref)
+
+    def test_supersample_scale(self):
+        got, ref = _run_pair(64, 72, radius=2.0, rs=1.3)
+        _assert_close(got, ref)
+
+    def test_debug_tint(self):
+        got, ref = _run_pair(64, 64, radius=0.3, debug=True)
+        _assert_close(got, ref)
+
+    def test_uniform_field_bitexact(self):
+        """A flat field has no FMA-sensitive gradients: require exactness."""
+        frames = np.full((2, 64, 80, 4), 137, np.uint8)
+        got, ref = _run_pair(64, 80, radius=0.5, frames=frames)
+        assert np.array_equal(got, ref)
+
+    def test_tile_not_dividing_output(self):
+        # output 171x128 with tile 62 -> partial edge tiles on both axes
+        got, ref = _run_pair(96, 128, radius=0.5)
+        _assert_close(got, ref)
+
+    def test_batch_one(self):
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
+        f = FR.gradient_frame(80, 96)
+        ref = Pipeline(cfg, backend="xla").process(f)
+        got = Pipeline(cfg, backend=_backend()).process(f)
+        _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
