@@ -1,13 +1,17 @@
-"""Canonical benchmark: stereo eye-pair FSR (EASU+RCAS fused pipeline) at the
-reference headline config — 1683x1869/eye upscaled to 2244x2492 at
+"""Canonical benchmark: stereo eye-pair FSR (EASU+RCAS fused Pallas kernel)
+at the reference headline config — 1683x1869/eye upscaled to 2244x2492 at
 renderScale 0.75, sharpness 0.9, foveated radius 0.5.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": <best ms per stereo pair>, "unit": "ms",
+  {"metric": ..., "value": <ms per stereo pair>, "unit": "ms",
    "vs_baseline": <1ms north-star / value>}
 
-BASELINE.json north star: < 1 ms per stereo pair on one TPU chip.
-Extra diagnostics go to stderr.
+Methodology: the axon TPU tunnel adds ~3 ms of dispatch overhead per
+execution and its block_until_ready can return before device completion, so
+naive per-call timing is wrong in both directions. We launch N back-to-back
+executions over rotating input buffers and force completion with a host
+transfer of a reduction of the last output — per-pair time is the forced
+wall time divided by N. Extra diagnostics go to stderr.
 """
 
 import json
@@ -19,6 +23,7 @@ import numpy as np
 
 def main():
     import jax
+    import jax.numpy as jnp
 
     from openvr_fsr_tpu import Config, Pipeline
     from openvr_fsr_tpu.utils import frames as FR
@@ -27,38 +32,44 @@ def main():
     cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
     pipe = Pipeline(cfg)
 
-    stereo = np.stack([
-        FR.zone_plate_frame(h_in, w_in),
-        FR.noise_frame(h_in, w_in, seed=1),
-    ])
+    rng = np.random.default_rng(0)
     eyes = (0, 1)
     fn = pipe._build(2, h_in, w_in, eyes)
-    frames_dev = jax.device_put(stereo)
+    inputs = [
+        jax.device_put(np.stack([FR.zone_plate_frame(h_in, w_in),
+                                 FR.noise_frame(h_in, w_in, seed=1)])),
+        jax.device_put(rng.integers(0, 256, (2, h_in, w_in, 4)).astype(np.uint8)),
+        jax.device_put(np.stack([FR.gradient_frame(h_in, w_in),
+                                 FR.checkerboard_frame(h_in, w_in)])),
+    ]
 
-    # warmup / compile
-    out = fn(frames_dev)
-    jax.block_until_ready(out)
-    print(f"[bench] backend={jax.default_backend()} out={out.shape}",
-          file=sys.stderr)
+    # warmup/compile + force real completion via host transfer
+    out = fn(inputs[0])
+    _ = np.asarray(out[0, 0, 0])
+    print(f"[bench] backend={jax.default_backend()} out={out.shape} "
+          f"pipeline-backend={pipe._resolve_backend()}", file=sys.stderr)
 
-    iters = 30
-    times = []
-    for _ in range(iters):
+    def run(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(frames_dev))
-        times.append(time.perf_counter() - t0)
-    best_ms = min(times) * 1000.0
-    avg_ms = sum(times) / len(times) * 1000.0
+        y = None
+        for i in range(iters):
+            y = fn(inputs[i % len(inputs)])
+        _ = np.asarray(jnp.sum(y[:, ::373, ::373]))  # forces completion
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    run(5)  # pipeline warmup
+    per_pair_ms = min(run(40) for _ in range(3))
 
     out_mpix = 2 * 2244 * 2492 / 1e6
-    print(f"[bench] best={best_ms:.3f} ms avg={avg_ms:.3f} ms "
-          f"({out_mpix / (best_ms / 1000.0):.0f} Mpix/s)", file=sys.stderr)
+    print(f"[bench] {per_pair_ms:.3f} ms/stereo-pair "
+          f"({out_mpix / (per_pair_ms / 1000.0):.0f} Mpix/s, "
+          f"{1000.0 / per_pair_ms:.0f} pairs/s)", file=sys.stderr)
 
     print(json.dumps({
         "metric": "fsr_stereo_eyepair_2244x2492_rs075_ms",
-        "value": round(best_ms, 4),
+        "value": round(per_pair_ms, 4),
         "unit": "ms",
-        "vs_baseline": round(1.0 / best_ms, 4),
+        "vs_baseline": round(1.0 / per_pair_ms, 4),
     }))
 
 
