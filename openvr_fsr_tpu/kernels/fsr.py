@@ -58,11 +58,12 @@ _DYS = (-1, 0, 1, 2)
 _DX_FULL = (0, 1)      # dx needing all 4 dy blocks (8 of the 12 taps)
 _DX_MID = (-1, 2)      # dx needing only dy in {0, 1} (the other 4)
 
-CHUNK = 128            # output-column chunk width (lane-exact)
+_CHUNK = 128           # default output-column chunk width (lane multiple)
 
 _FORCE_HIGHEST = False  # debug: force f32 HIGHEST-precision matmul-gathers
 _SKIP_STAGE1 = False    # debug/profiling: skip the EASU/bilinear chunk loop
 _SKIP_RCAS = False      # debug/profiling: write quantized stage-1 directly
+_NO_GATING = False      # debug/profiling: drop pl.when chunk gating
 
 
 def _round_up(x, m):
@@ -93,7 +94,7 @@ def _pad_cols(arrs, n, n_pad):
 
 def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     centres, color_bits=8, debug=False, band_rows=128,
-                    interpret=False):
+                    chunk=_CHUNK, interpret=False):
     """Build the fused stereo FSR kernel for a fixed shape/config.
 
     Args:
@@ -115,6 +116,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     TH = OH if OH <= int(band_rows) else int(band_rows)
     TH_E = TH + 2
     GY = -(-OH // TH)
+    CHUNK = int(chunk)
     NCHUNK = -(-OW // CHUNK)
     OWP = NCHUNK * CHUNK
     TOTAL = B * GY
@@ -162,27 +164,59 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     KC = min(cKc, W)
     cw0 = [min(w0, W - KC) for w0 in cw0]
 
-    # per-(batch, band, chunk) foveation class over 16x16 groups covering the
-    # chunk plus the RCAS halo ring
+    # Host-side foveation: the 16x16-group circle test (fsr_easu.hlsl:41-45)
+    # depends only on static centres, so the whole per-pixel mask state is
+    # precomputed: 0 = outside radius, 1 = inside, 2 = out of image (zero
+    # per the RCAS Load() rule). Expanded per band incl. the +-1 halo rows.
     centres = np.asarray(centres, np.int64).reshape(B, 5)
     cls = np.zeros((B, GY, NCHUNK), np.int32)
+    mstate = np.zeros((B, GY, TH_E, OWP), np.uint8)  # chunked below
+    rows_g = np.clip(np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :],
+                     0, OH - 1)
+    row_ok = ((np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] >= 0)
+              & (np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] < OH))
     for bi in range(B):
         cl = (centres[bi, 0], centres[bi, 1])
         cr = (centres[bi, 2], centres[bi, 3])
-        gm = fov.tile_mask(OW, OH, (16, 16), (cl, cr), int(centres[bi, 4]))
+        pm = fov.pixel_mask(OW, OH, (16, 16), (cl, cr), int(centres[bi, 4]))
+        pm_p = np.zeros((OH, OWP), bool)
+        pm_p[:, :OW] = pm
         for i in range(GY):
-            g0 = max(0, i * TH - 1) // 16
-            g1 = min(OH - 1, i * TH + TH) // 16
+            st = pm_p[rows_g[i]].astype(np.uint8)
+            st[~row_ok[i]] = 2
+            st[:, OW:] = 2
+            mstate[bi, i] = st
             for k in range(NCHUNK):
-                h0 = max(0, k * CHUNK - 1) // 16
-                h1 = min(OW - 1, k * CHUNK + CHUNK) // 16
-                sub = gm[g0:g1 + 1, h0:h1 + 1]
-                cls[bi, i, k] = 2 if sub.all() else (1 if sub.any() else 0)
+                h0, h1 = max(0, k * CHUNK - 1), min(OWP - 1, k * CHUNK + CHUNK)
+                sub = st[:, h0:h1 + 1]
+                ins = (sub == 1)
+                cls[bi, i, k] = 2 if ins.all() else (1 if ins.any() else 0)
     cls_flat = cls.reshape(-1)
-    cen_i32 = np.minimum(centres, np.int64(2**31 - 1)).astype(np.int32).reshape(-1)
+
 
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+
+    # The gather one-hots are fully static — build them on the host.
+    # Rows: per band, blocks [dy=-1,0,1,2, bilin y0, bilin y1] -> (GY, 6*TH_E, IH)
+    iota_ih_np = np.arange(IH)[None, :]
+    def _row_oh(rows, band):  # rows: (TH_E,) global
+        loc = np.clip(rows, 0, H - 1) - oy_all[band]
+        return (loc[:, None] == iota_ih_np)
+    rstack = np.zeros((GY, 6 * TH_E, IH), np.float32)
+    for i in range(GY):
+        blocks = [_row_oh(fyi_e[i] + dy, i) for dy in _DYS]
+        blocks += [_row_oh(by0_e[i], i), _row_oh(by0_e[i] + 1, i)]
+        rstack[i] = np.concatenate(blocks, axis=0)
+    # Cols: per chunk, blocks [dx=-1,0,1,2, bilin x0, bilin x1] -> (KC, 6*CHUNK)
+    iota_kc_np = np.arange(KC)[:, None]
+    sstack = np.zeros((NCHUNK, KC, 6 * CHUNK), np.float32)
+    for k in range(NCHUNK):
+        cs = slice(k * CHUNK, k * CHUNK + CHUNK)
+        blocks = [np.clip(fxi_p[cs] + dx, 0, W - 1) - cw0[k] for dx in (-1, 0, 1, 2)]
+        blocks += [np.clip(bx0_p[cs], 0, W - 1) - cw0[k],
+                   np.clip(bx0_p[cs] + 1, 0, W - 1) - cw0[k]]
+        sstack[k] = (iota_kc_np == np.concatenate(blocks)[None, :])
 
     def _mm(a, b):
         return jax.lax.dot_general(
@@ -190,9 +224,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             (((1,), (0,)), ((), ())),
             precision=mm_prec, preferred_element_type=jnp.float32)
 
-    def kernel(oy_ref, cen_ref, cls_ref,
-               img, fyi_r, ppy_r, by0_r, fby_r, fxi_r, ppx_r, bx0_r, fbx_r,
-               out_ref, inbuf, s_easu, s_bil, qband, sems):
+    def kernel(oy_ref, cls_ref,
+               img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r,
+               out_ref, inbuf, s_easu, s_bilx, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -218,52 +252,28 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         def inp(c, w0):  # (IH, KC) integer-texel window of channel c
             return band[c, :, w0:w0 + KC]
 
-        oy = oy_ref[i]
-        fyi_t = fyi_r[0]          # (TH_E, 1) i32, global floor rows
         ppy_t = ppy_r[0]          # (TH_E, 1) f32
+        r_easu = rst_r[0, :4 * TH_E]   # (4*TH_E, IH) one-hot row gather
+        r_bil = rst_r[0, 4 * TH_E:]    # (2*TH_E, IH)
 
-        iota_ih = jax.lax.broadcasted_iota(jnp.int32, (TH_E, IH), 1)
-        iota_kc = jax.lax.broadcasted_iota(jnp.int32, (KC, CHUNK), 0)
+        # foveation/validity state is a precomputed host input:
+        # mst_r[0, 0] is (TH_E, OWP) i8 — 0 outside, 1 inside, 2 invalid
 
-        def row_onehot(rows):  # (TH_E, 1) global rows -> (TH_E, IH)
-            return ((jnp.clip(rows, 0, H - 1) - oy) == iota_ih).astype(mm_dtype)
+        one = F32(1.0)
 
-        # stacked one-hot row-gather matrices, shared by every chunk of the
-        # band: EASU blocks [dy=-1, 0, 1, 2] and bilinear blocks [y0, y1]
-        r_easu = jnp.concatenate([row_onehot(fyi_t + dy) for dy in _DYS], axis=0)
-        r_bil = jnp.concatenate(
-            [row_onehot(by0_r[0]), row_onehot(by0_r[0] + 1)], axis=0)
-
-        # foveation mask per chunk (16x16 groups, i32 circle test —
-        # fsr_easu.hlsl:41-45; signed i32 is exact, see core/foveation.py)
-        gy_c = i * TH - 1 + jax.lax.broadcasted_iota(jnp.int32, (TH_E, CHUNK), 0)
-        gx_b = jax.lax.broadcasted_iota(jnp.int32, (TH_E, CHUNK), 1)
-        gcy = (gy_c // 16) * 16 + 8
-
-        def chunk_mask(c0):
-            gx = c0 + gx_b
-            gcx = (gx // 16) * 16 + 8
-            d0, d1 = cen_ref[b * 5 + 0] - gcx, cen_ref[b * 5 + 1] - gcy
-            d2, d3 = cen_ref[b * 5 + 2] - gcx, cen_ref[b * 5 + 3] - gcy
-            rsq = cen_ref[b * 5 + 4]
-            m = (d0 * d0 + d1 * d1 <= rsq) | (d2 * d2 + d3 * d3 <= rsq)
-            return m, (gy_c >= 0) & (gy_c < OH) & (gx < OW)
-
-        # ---- chunk loop 1: EASU / bilinear -> quantized band scratch --------
+        # ---- chunk loop: gather matmuls (+ per-chunk EASU core) -------------
+        # All cheap MXU work and the gated heavy EASU math happen per 128-col
+        # chunk; everything elementwise that can run band-wide runs after the
+        # loop on (3, TH_E, OWP) arrays where VPU op overheads amortize.
         for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
             c0 = k * CHUNK
             w0 = cw0[k]
             tcls = cls_ref[step * NCHUNK + k]
-            fxi_c = fxi_r[k]                     # (1, CHUNK) global floor cols
             ppx_c = ppx_r[k]
 
-            def col_onehot(cols):  # (1, CHUNK) global cols -> (KC, CHUNK)
-                return (iota_kc == (jnp.clip(cols, 0, W - 1) - w0)).astype(mm_dtype)
-
-            @pl.when(tcls > 0)
-            def _(k=k, c0=c0, w0=w0, fxi_c=fxi_c, ppx_c=ppx_c,
-                  col_onehot=col_onehot):
-                s_cols = {dx: col_onehot(fxi_c + dx) for dx in (-1, 0, 1, 2)}
+            def _easu_chunk(k=k, c0=c0, w0=w0, ppx_c=ppx_c):
+                s_cols = {dx: sst_r[k, :, (dx + 1) * CHUNK:(dx + 2) * CHUNK]
+                          for dx in (-1, 0, 1, 2)}
                 taps = {}
                 for c in range(3):
                     g = _mm(r_easu, inp(c, w0))             # (4*TH_E, KC) f32
@@ -281,80 +291,71 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                                 taps.setdefault((dx, dy), []).append(
                                     t[kk * TH_E:(kk + 1) * TH_E])
                 taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
-                s_easu[:] = easu_core(taps, ppx_c, ppy_t)
+                s_easu[:, :, c0:c0 + CHUNK] = easu_core(taps, ppx_c, ppy_t)
 
-            @pl.when(tcls < 2)
-            def _(k=k, c0=c0, w0=w0, col_onehot=col_onehot):
-                sb0 = col_onehot(bx0_r[k])
-                sb1 = col_onehot(bx0_r[k] + 1)
-                fx = fbx_r[k]
-                fy = fby_r[0]
-                one = F32(1.0)
-                rows = []
+            def _bil_chunk(k=k, c0=c0, w0=w0):
+                sb0 = sst_r[k, :, 4 * CHUNK:5 * CHUNK]
+                sb1 = sst_r[k, :, 5 * CHUNK:]
+                fxc = fbx_r[k]                              # (1, CHUNK)
                 for c in range(3):
                     gb = _mm(r_bil, inp(c, w0))             # (2*TH_E, KC) f32
                     t0 = _mm(gb, sb0) * inv_cmax
                     t1 = _mm(gb, sb1) * inv_cmax
-                    top = t0[:TH_E] * (one - fx) + t1[:TH_E] * fx
-                    bot = t0[TH_E:] * (one - fx) + t1[TH_E:] * fx
-                    rows.append(top * (one - fy) + bot * fy)
-                s_bil[:] = jnp.stack(rows, 0)
+                    # x-lerp now (ops are small either way); y-lerp band-wide
+                    s_bilx[c, :, c0:c0 + CHUNK] = t0 * (one - fxc) + t1 * fxc
 
-            m_c, valid_c = chunk_mask(c0)
-            stage1 = jnp.where(m_c[None], s_easu[:], s_bil[:])
-            # UNORM round-trip between the dispatches (PostProcessor.cpp:527);
-            # codes are integers <= cmax -> bf16-exact band storage
-            q = jnp.round(jnp.clip(stage1, F32(0.0), F32(1.0)) * cmax)
-            q = jnp.where(valid_c[None], q, F32(0.0))
-            qband[:, :, c0:c0 + CHUNK] = q.astype(qband.dtype)
-
-        # ---- chunk loop 2: RCAS + foveated passthrough ----------------------
-        if _SKIP_RCAS:
-            out_ref[0] = qband[:, 1:1 + TH, :OW].astype(jnp.float32) * inv_cmax
-            return
-        qv_band = qband[:].astype(jnp.float32) * inv_cmax  # (3, TH_E, OWP)
-        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
-        for k in range(NCHUNK):
-            c0 = k * CHUNK
-            wlo, whi = max(c0 - 1, 0), min(c0 + CHUNK + 1, OWP)
-            qc = qv_band[:, :, wlo:whi]
-            if wlo == c0:        # left image border: Load() OOB returns zero
-                qc = jnp.concatenate([padl, qc], axis=2)
-            if whi == c0 + CHUNK:
-                qc = jnp.concatenate([qc, padl], axis=2)
-            e = qc[:, 1:1 + TH, 1:1 + CHUNK]
-            sh = rcas_core(
-                qc[:, 0:TH, 1:1 + CHUNK], qc[:, 1:1 + TH, 0:CHUNK], e,
-                qc[:, 1:1 + TH, 2:2 + CHUNK], qc[:, 2:2 + TH, 1:1 + CHUNK],
-                sharp_lin)
-            m_in = chunk_mask(c0)[0][1:1 + TH][None]
-            if tint is not None:
-                fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+            if _NO_GATING:
+                _easu_chunk()
+                _bil_chunk()
             else:
-                fb = e
-            cw = min(CHUNK, OW - c0)   # last chunk may be partial
-            out_ref[0, :, :, c0:c0 + cw] = jnp.where(m_in, sh, fb)[:, :, :cw]
+                pl.when(tcls > 0)(_easu_chunk)
+                pl.when(tcls < 2)(_bil_chunk)
+
+        # ---- band-wide epilogue: y-lerp, foveated select, UNORM, RCAS -------
+        ms = mst_r[0, 0].astype(jnp.int32)                  # (TH_E, OWP)
+        fy = fby_r[0]                                       # (TH_E, 1)
+        bil = s_bilx[:, :TH_E] * (one - fy) + s_bilx[:, TH_E:] * fy
+        stage1 = jnp.where((ms == 1)[None], s_easu[:], bil)
+        # UNORM round-trip between the two dispatches (PostProcessor.cpp:527)
+        q = jnp.round(jnp.clip(stage1, F32(0.0), F32(1.0)) * cmax)
+        qv = jnp.where((ms != 2)[None], q, F32(0.0)) * inv_cmax
+
+        if _SKIP_RCAS:
+            out_ref[0] = qv[:, 1:1 + TH, :OW]
+            return
+
+        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
+        qx = jnp.concatenate([padl, qv, padl], axis=2)  # Load() OOB -> zero
+        e = qx[:, 1:1 + TH, 1:1 + OWP]
+        sh = rcas_core(
+            qx[:, 0:TH, 1:1 + OWP], qx[:, 1:1 + TH, 0:OWP], e,
+            qx[:, 1:1 + TH, 2:2 + OWP], qx[:, 2:2 + TH, 1:1 + OWP],
+            sharp_lin)
+        m_in = (ms[1:1 + TH] == 1)[None]
+        if tint is not None:
+            fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+        else:
+            fb = e
+        out_ref[0] = jnp.where(m_in, sh, fb)[:, :, :OW]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(B, GY),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
+            pl.BlockSpec((1, 1, TH_E, OWP), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 6 * TH_E, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, KC, 6 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
-            pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 3, TH, OW), lambda b, i, *_: (b, 0, i, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, 3, IH, WP), in_dtype),
-            pltpu.VMEM((3, TH_E, CHUNK), jnp.float32),
-            pltpu.VMEM((3, TH_E, CHUNK), jnp.float32),
-            pltpu.VMEM((3, TH_E, OWP), in_dtype),
+            pltpu.VMEM((3, TH_E, OWP), jnp.float32),      # EASU band
+            pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32),  # bilinear x-lerped
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -368,15 +369,17 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         interpret=interpret,
     )
 
-    rowmaps = [a.reshape(GY, TH_E, 1) for a in (fyi_e, ppy_e, by0_e, fby_e)]
-    colmaps = [a.reshape(NCHUNK, 1, CHUNK) for a in (fxi_p, ppx_p, bx0_p, fbx_p)]
-    statics = [jnp.asarray(oy_all), jnp.asarray(cen_i32), jnp.asarray(cls_flat)] \
-        + [jnp.asarray(a) for a in rowmaps + colmaps]
+    rowmaps = [a.reshape(GY, TH_E, 1) for a in (ppy_e, fby_e)]
+    colmaps = [a.reshape(NCHUNK, 1, CHUNK) for a in (ppx_p, fbx_p)]
+    onehots = [jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype)]
+    statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
+               jnp.asarray(mstate.astype(np.int8))] \
+        + onehots + [jnp.asarray(a) for a in rowmaps + colmaps]
 
     def fn(img):
         img = img.astype(in_dtype)  # integer texels: exact in bf16 for 8-bit
         if HP != H or WP != W:      # pad to the HBM (sublane, lane) tiling
             img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], statics[2], img, *statics[3:])
+        return call(statics[0], statics[1], img, statics[2], *statics[3:])
 
     return fn
