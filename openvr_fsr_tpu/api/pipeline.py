@@ -169,15 +169,37 @@ class Pipeline:
 
         return jax.jit(run)
 
+    def _build_rcas_sharpen(self, b, h, w, eyes, interpret):
+        """Sharpen-only Pallas path (kernels/rcas.py) for renderScale == 1."""
+        from ..kernels.rcas import build_rcas_sharpen
+
+        cfg = self.config
+        sharpen = build_rcas_sharpen(
+            b, h, w, sharpness=cfg.sharpness,
+            centres=self._centres_array(w, h, eyes),
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+
+        def run(frames):
+            x = frames if frames.ndim == 4 else frames[None]
+            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+            return from_planar(sharpen(ints.astype(jnp.float32)),
+                               color_bits, alpha_bits)
+
+        return jax.jit(run)
+
     def _build(self, b, h, w, eyes):
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
         do_up, do_sh = cfg.stage_plan()
         backend = self._resolve_backend()
-        if (backend in ("pallas", "pallas-interpret") and not cfg.use_nis
-                and do_up and do_sh):
-            return self._build_fsr_fused(
-                b, h, w, eyes, interpret=(backend == "pallas-interpret"))
+        if backend in ("pallas", "pallas-interpret") and not cfg.use_nis:
+            interpret = backend == "pallas-interpret"
+            if do_up and do_sh:
+                return self._build_fsr_fused(b, h, w, eyes, interpret)
+            if do_sh:  # renderScale == 1: sharpen-only (PostProcessor.cpp:530)
+                return self._build_rcas_sharpen(b, h, w, eyes, interpret)
         color_bits = self.color_bits
         alpha_bits = self.alpha_bits
         tint = _tint(cfg.debug_mode)

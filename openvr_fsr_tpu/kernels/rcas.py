@@ -1,0 +1,180 @@
+"""Sharpen-only RCAS Pallas TPU kernel (renderScale == 1).
+
+The reference runs only the sharpen dispatch when renderScale is 1.0 —
+for FSR that is fsr_rcas.hlsl over the game's own render target
+(src/postprocess/PostProcessor.cpp:530-535, 591-594). This kernel fuses:
+
+  1. RCAS (src/fsr/ffx_fsr1.h:684-769) over the full frame,
+  2. the foveated-radius select: outside the circle the input pixel passes
+     through with the optional debug tint (fsr_rcas.hlsl:23-55); alpha is 1
+     inside the circle and the source alpha outside (matching the XLA
+     pipeline stage and the float4(rgb, 1) UAV store).
+
+Design mirrors kernels/fsr.py's row bands: the grid is (batch, band), each
+band DMAs a full-width window of input rows (double-buffered), row selection
+(+-1 halo with the Load() zero-fill rule) is a host-built one-hot matmul,
+and everything elementwise runs band-wide. Texels are integer-valued, so
+bf16 one-hot matmuls with f32 accumulation are bit-exact for 8-bit frames.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import constants as C
+from ..core import foveation as fov
+from ..ops.rcas import rcas_core
+
+__all__ = ["build_rcas_sharpen"]
+
+F32 = np.float32
+
+
+def _round_up(x, m):
+    return -(-int(x) // m) * m
+
+
+def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
+                       debug=False, band_rows=256, interpret=False):
+    """Build the sharpen-only kernel for a fixed shape/config.
+
+    Returns fn(img) -> rgba where img is (B, 4, h, w) float32 holding integer
+    texel values and rgba is (B, 4, h, w) float32 in [0, 1].
+    """
+    B, H, W = int(batch), int(h), int(w)
+    TH = H if H <= int(band_rows) else int(band_rows)
+    TH_E = TH + 2
+    GY = -(-H // TH)
+    TOTAL = B * GY
+
+    cmax = F32((1 << color_bits) - 1)
+    inv_cmax = F32(1.0) / cmax
+    exact_bf16 = color_bits <= 8
+    sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
+    tint = (F32(0.7), F32(0.7)) if debug else None
+
+    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    mm_dtype = in_dtype
+    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    row_align = 16 if exact_bf16 else 8
+    HP = _round_up(H, row_align)
+    WP = _round_up(W, 128)
+
+    # per-band input row windows covering rows [i*TH - 1, i*TH + TH + 1)
+    rows_e = np.clip(np.arange(GY)[:, None] * TH - 1
+                     + np.arange(TH_E)[None, :], 0, H - 1)
+    lo_a = (rows_e[:, 0] // row_align) * row_align
+    IH = min(_round_up(int((rows_e[:, -1] - lo_a + 1).max()), row_align), HP)
+    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+
+    # host one-hot row selectors (identity + edge clip) per band
+    rstack = np.zeros((GY, TH_E, IH), np.float32)
+    for i in range(GY):
+        rstack[i] = (rows_e[i] - oy_all[i])[:, None] == np.arange(IH)[None, :]
+
+    # mask state per band: 0 outside radius, 1 inside, 2 out-of-image
+    centres = np.asarray(centres, np.int64).reshape(B, 5)
+    row_ok = ((np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] >= 0)
+              & (np.arange(GY)[:, None] * TH - 1
+                 + np.arange(TH_E)[None, :] < H))
+    mstate = np.zeros((B, GY, TH_E, WP), np.int8)
+    for bi in range(B):
+        pm = fov.pixel_mask(W, H, fov.TILE_FSR,
+                            ((centres[bi, 0], centres[bi, 1]),
+                             (centres[bi, 2], centres[bi, 3])),
+                            int(centres[bi, 4]))
+        pm_p = np.zeros((H, WP), bool)
+        pm_p[:, :W] = pm
+        for i in range(GY):
+            st = pm_p[rows_e[i]].astype(np.int8)
+            st[~row_ok[i]] = 2
+            st[:, W:] = 2
+            mstate[bi, i] = st
+
+    def _mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
+    def kernel(oy_ref, img, mst_r, rst_r, out_ref, inbuf, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        step = b * GY + i
+
+        def dma(slot, bb, ii):
+            return pltpu.make_async_copy(
+                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
+                inbuf.at[slot], sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, b, i).start()
+
+        @pl.when(step + 1 < TOTAL)
+        def _():
+            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
+
+        slot = jax.lax.rem(step, 2)
+        dma(slot, b, i).wait()
+        band = inbuf[slot]                       # (4, IH, WP) integer texels
+        rsel = rst_r[0]                          # (TH_E, IH) one-hot rows
+
+        ms = mst_r[0, 0].astype(jnp.int32)       # (TH_E, WP)
+        gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
+        dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
+
+        qv = dec[:3]
+        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
+        qx = jnp.concatenate([padl, qv, padl], axis=2)   # Load() OOB -> zero
+        e = qx[:, 1:1 + TH, 1:1 + WP]
+        sh = rcas_core(
+            qx[:, 0:TH, 1:1 + WP], qx[:, 1:1 + TH, 0:WP], e,
+            qx[:, 1:1 + TH, 2:2 + WP], qx[:, 2:2 + TH, 1:1 + WP], sharp_lin)
+        m_in = (ms[1:1 + TH] == 1)[None]
+        if tint is not None:
+            fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+        else:
+            fb = e
+        rgb = jnp.where(m_in, sh, fb)[:, :, :W]
+        # int+slice mixed indexing lowers to an unsupported gather in Mosaic:
+        # keep it slices-only
+        alpha_src = dec[3:4][:, 1:1 + TH]
+        alpha = jnp.where(m_in, F32(1.0), alpha_src)[:, :, :W]
+        out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, GY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, TH_E, WP), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, TH_E, IH), lambda b, i, *_: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, IH, WP), in_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    statics = [jnp.asarray(oy_all), jnp.asarray(mstate),
+               jnp.asarray(rstack, mm_dtype)]
+
+    def fn(img):
+        img = img.astype(in_dtype)
+        if HP != H or WP != W:
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        return call(statics[0], img, statics[1], statics[2])
+
+    return fn

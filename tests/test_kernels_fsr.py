@@ -68,6 +68,19 @@ class TestFusedFsrKernel:
         got, ref = _run_pair(96, 128, radius=0.5)
         _assert_close(got, ref)
 
+    @pytest.mark.parametrize("radius", [2.0, 0.4, 0.0])
+    def test_sharpen_only_matches_xla(self, radius):
+        """renderScale=1 -> kernels/rcas.py (PostProcessor.cpp:530 truth table)."""
+        frames = np.stack([FR.zone_plate_frame(96, 130),
+                           FR.noise_frame(96, 130, seed=3)])
+        frames[0, :, :, 3] = 200  # non-trivial alpha passthrough outside radius
+        got, ref = _run_pair(96, 130, radius, rs=1.0, frames=frames)
+        _assert_close(got, ref)
+
+    def test_sharpen_only_debug_tint(self):
+        got, ref = _run_pair(64, 64, radius=0.3, rs=1.0, debug=True)
+        _assert_close(got, ref)
+
     def test_batch_one(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
         f = FR.gradient_frame(80, 96)
