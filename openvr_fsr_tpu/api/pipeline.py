@@ -189,17 +189,40 @@ class Pipeline:
 
         return jax.jit(run)
 
+    def _build_nvsharpen(self, b, h, w, eyes, interpret):
+        """NVSharpen Pallas path (kernels/nis.py) for NIS at renderScale == 1."""
+        from ..kernels.nis import build_nvsharpen
+
+        cfg = self.config
+        nis_cfg = C.nvsharpen_update_config(cfg.sharpness, w, h, w, h)
+        sharpen = build_nvsharpen(
+            b, h, w, nis_cfg=nis_cfg, centres=self._centres_array(w, h, eyes),
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+
+        def run(frames):
+            x = frames if frames.ndim == 4 else frames[None]
+            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+            return from_planar(sharpen(ints.astype(jnp.float32)),
+                               color_bits, alpha_bits)
+
+        return jax.jit(run)
+
     def _build(self, b, h, w, eyes):
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
         do_up, do_sh = cfg.stage_plan()
         backend = self._resolve_backend()
-        if backend in ("pallas", "pallas-interpret") and not cfg.use_nis:
+        if backend in ("pallas", "pallas-interpret"):
             interpret = backend == "pallas-interpret"
-            if do_up and do_sh:
-                return self._build_fsr_fused(b, h, w, eyes, interpret)
-            if do_sh:  # renderScale == 1: sharpen-only (PostProcessor.cpp:530)
-                return self._build_rcas_sharpen(b, h, w, eyes, interpret)
+            if not cfg.use_nis:
+                if do_up and do_sh:
+                    return self._build_fsr_fused(b, h, w, eyes, interpret)
+                if do_sh:  # renderScale == 1: sharpen only (PostProcessor:530)
+                    return self._build_rcas_sharpen(b, h, w, eyes, interpret)
+            elif do_sh and not do_up:  # NIS at renderScale == 1: NVSharpen
+                return self._build_nvsharpen(b, h, w, eyes, interpret)
         color_bits = self.color_bits
         alpha_bits = self.alpha_bits
         tint = _tint(cfg.debug_mode)

@@ -21,9 +21,10 @@ def _backend():
     return "pallas" if jax.default_backend() == "tpu" else "pallas-interpret"
 
 
-def _run_pair(h, w, radius, rs=0.75, sharpness=0.9, debug=False, frames=None):
+def _run_pair(h, w, radius, rs=0.75, sharpness=0.9, debug=False, frames=None,
+              use_nis=False):
     cfg = Config(enabled=True, render_scale=rs, sharpness=sharpness,
-                 radius=radius, debug_mode=debug)
+                 radius=radius, debug_mode=debug, use_nis=use_nis)
     if frames is None:
         frames = np.stack([FR.zone_plate_frame(h, w),
                            FR.noise_frame(h, w, seed=3)])
@@ -79,6 +80,16 @@ class TestFusedFsrKernel:
 
     def test_sharpen_only_debug_tint(self):
         got, ref = _run_pair(64, 64, radius=0.3, rs=1.0, debug=True)
+        _assert_close(got, ref)
+
+    @pytest.mark.parametrize("radius", [2.0, 0.4])
+    def test_nvsharpen_matches_xla(self, radius):
+        """NIS + renderScale=1 -> kernels/nis.py NVSharpen."""
+        frames = np.stack([FR.zone_plate_frame(96, 130),
+                           FR.noise_frame(96, 130, seed=3)])
+        frames[1, :, :, 3] = 190
+        got, ref = _run_pair(96, 130, radius, rs=1.0, frames=frames,
+                             use_nis=True)
         _assert_close(got, ref)
 
     def test_batch_one(self):
