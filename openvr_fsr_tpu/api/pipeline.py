@@ -209,6 +209,77 @@ class Pipeline:
 
         return jax.jit(run)
 
+    def _build_nvscaler(self, b, h, w, eyes, interpret):
+        """NVScaler Pallas path (kernels/nis.py) for NIS upscaling.
+
+        The kernel's edge map is exact except at texture-border rows/columns
+        where the reference's clamp composition differs (clip(clip(p)+1) vs
+        clip(p+1)); those few strips are recomputed with the XLA reference
+        path and patched in, so the whole output is exact."""
+        from ..kernels.nis import build_nvscaler
+        from ..ops.nis import nvscaler_jax, nis_source_maps
+        from ..ops.bilinear import bilinear_fallback_fsr_jax, bilinear_sample_jax
+
+        cfg = self.config
+        out_w, out_h = cfg.output_size(w, h)
+        nis_cfg = C.nvscaler_update_config(
+            cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
+        centres = self._centres_array(out_w, out_h, eyes)
+        scaler = build_nvscaler(
+            b, h, w, out_w, out_h, nis_cfg=nis_cfg, centres=centres,
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+        tint = jnp.asarray(_tint(cfg.debug_mode))
+
+        pxi, pyi, _, _ = nis_source_maps(out_w, out_h, nis_cfg)
+        top = int((pyi <= 0).sum())          # clip(pyi)+1 composition differs
+        bot = int((pyi >= h - 2).sum())
+        left = int((pxi <= 0).sum())
+        right = int((pxi >= w - 2).sum())
+        rows_p = np.concatenate([np.arange(top),
+                                 np.arange(out_h - bot, out_h)]).astype(int)
+        cols_p = np.concatenate([np.arange(left),
+                                 np.arange(out_w - right, out_w)]).astype(int)
+        masks = [fov.pixel_mask(out_w, out_h, fov.TILE_NIS_SCALER,
+                                ((c[0], c[1]), (c[2], c[3])), int(c[4]))
+                 for c in centres]
+        u_fb = np.arange(out_w, dtype=np.float32) / F32(out_w)
+        v_fb = np.arange(out_h, dtype=np.float32) / F32(out_h)
+
+        def _strip(x4, rows, cols):
+            """Exact XLA-path output (incl. foveated fallback) for a strip."""
+            up = nvscaler_jax(x4, out_w, out_h, nis_cfg, rows=rows, cols=cols)
+            fb_rgb = bilinear_sample_jax(
+                x4[:3], u_fb if cols is None else u_fb[cols],
+                v_fb if rows is None else v_fb[rows])
+            fb = jnp.concatenate(
+                [fb_rgb, jnp.ones_like(fb_rgb[:1])], axis=0) * tint[:, None, None]
+            return up, fb
+
+        def run(frames):
+            x = frames if frames.ndim == 4 else frames[None]
+            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)).astype(jnp.float32)
+            out = scaler(ints)
+            if len(rows_p) or len(cols_p):
+                inv = F32(1.0) / F32((1 << color_bits) - 1)
+                for bi in range(b):
+                    x4 = ints[bi] * inv
+                    m = masks[bi]
+                    ob = out[bi]
+                    if len(rows_p):
+                        up, fb = _strip(x4, rows_p, None)
+                        ms = jnp.asarray(m[rows_p][None])
+                        ob = ob.at[:, rows_p, :].set(jnp.where(ms, up, fb))
+                    if len(cols_p):
+                        up, fb = _strip(x4, None, cols_p)
+                        ms = jnp.asarray(m[:, cols_p][None])
+                        ob = ob.at[:, :, cols_p].set(jnp.where(ms, up, fb))
+                    out = out.at[bi].set(ob)
+            return from_planar(out, color_bits, alpha_bits)
+
+        return jax.jit(run)
+
     def _build(self, b, h, w, eyes):
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
@@ -223,6 +294,8 @@ class Pipeline:
                     return self._build_rcas_sharpen(b, h, w, eyes, interpret)
             elif do_sh and not do_up:  # NIS at renderScale == 1: NVSharpen
                 return self._build_nvsharpen(b, h, w, eyes, interpret)
+            elif do_up:                # NIS upscale: NVScaler
+                return self._build_nvscaler(b, h, w, eyes, interpret)
         color_bits = self.color_bits
         alpha_bits = self.alpha_bits
         tint = _tint(cfg.debug_mode)

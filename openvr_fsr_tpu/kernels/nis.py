@@ -29,7 +29,9 @@ from ..core import foveation as fov
 from ..core.constants import NisConfig
 from ..ops import nis as N
 
-__all__ = ["build_nvsharpen"]
+__all__ = ["build_nvsharpen", "build_nvscaler"]
+
+_SKIP_STAGE1 = False    # debug/profiling hook (mirrors kernels/fsr.py)
 
 F32 = np.float32
 
@@ -216,5 +218,522 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         if HP != H:
             img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
         return call(statics[0], img, statics[1], statics[2])
+
+    return fn
+
+
+# =============================================================================
+# NVScaler (upscale, renderScale != 1)
+# =============================================================================
+#
+# Reference: NVScaler, src/nis/NIS_Scaler.h:589-770. Per output pixel it reads
+# a 6x6 luma support at floor(src)+{-2..3}, computes a separable 6-tap filter
+# (FilterNormal) plus 4 directional filters with a 64-phase coefficient LUT
+# (GetDirFilters/EvalPoly6), blends them by a bilinearly interpolated
+# 3x3-Sobel edge map (GetEdgeMap), and adds the luma correction to a bilinear
+# RGBA tap.
+#
+# TPU-native mapping:
+#   * All gathers are one-hot matmul-gathers (like kernels/fsr.py). The luma
+#     plane is f32 (not integer) so it is split into three bf16 terms
+#     (8+8+8 mantissa bits) that gather exactly and reconstruct by exact f32
+#     addition.
+#   * The per-pixel 64-phase LUT for the diagonal filters: the phase is
+#     trunc of (64*fx[c] +/- 64*fy[r]) — an outer f32 sum of static per-axis
+#     values — so the looked-up coefficient plane is
+#     C[r,c] = T[(a[c] + b[r] + carry) % 64] with carry in {0,1}. That is a
+#     circulant sandwich  Boh @ Circ(T) @ Aoh  of static one-hot matrices
+#     around the 64x64 circulant of each table column. The carry picks
+#     between the circulant and its rolled variant via a per-pixel compare
+#     against the exactly recomputed f32 phase. Table values are bf16
+#     3-split for exactness.
+#   * Horizontal/vertical filter phases are static per axis and arrive as
+#     packed row/column coefficient maps.
+#   * Foveation gates the expensive path per 128-column chunk; the
+#     out-of-radius DirectCopy bilinear fallback (NIS_Upscale.hlsl:77-107,
+#     32x24 block granularity baked into the mask-state input) is gated the
+#     other way.
+
+_NIS_DYS = (-2, -1, 0, 1, 2, 3)
+
+
+def _split3(x):
+    """Exact 3-way bf16 split of f32 (hi + mid + lo == x for normal values)."""
+    hi = x.astype(jnp.bfloat16)
+    r = x - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _split3_np(x):
+    import ml_dtypes
+    x = np.asarray(x, np.float32)
+    hi = x.astype(ml_dtypes.bfloat16)
+    r = x - hi.astype(np.float32)
+    mid = r.astype(ml_dtypes.bfloat16)
+    lo = (r - mid.astype(np.float32)).astype(ml_dtypes.bfloat16)
+    return (hi.astype(np.float32), mid.astype(np.float32),
+            lo.astype(np.float32))
+
+
+def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
+                   centres, color_bits=8, debug=False, band_rows=128,
+                   chunk=128, interpret=False):
+    """Build the NVScaler kernel. fn(img) -> rgba, img (B, 4, in_h, in_w)
+    float32 integer texels; result (B, 4, out_h, out_w) f32 in [0, 1]."""
+    from ..core.nis_tables import COEF_SCALE, COEF_USM
+    from ..ops.nis import (eval_poly6_core, _edge_weights_jax, _edge_grads,
+                           nis_source_maps)
+    from ..ops.bilinear import bilinear_axis_maps
+    from ..ops.common import hlsl_lerp
+
+    B = int(batch)
+    H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
+    CHUNK = int(chunk)
+    TH = OH if OH <= int(band_rows) else int(band_rows)
+    GY = -(-OH // TH)
+    NCHUNK = -(-OW // CHUNK)
+    OWP = NCHUNK * CHUNK
+    TOTAL = B * GY
+    cfg = nis_cfg
+
+    cmax = F32((1 << color_bits) - 1)
+    inv_cmax = F32(1.0) / cmax
+    exact_bf16 = color_bits <= 8
+    tint = (F32(0.7), F32(0.7)) if debug else None
+
+    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    mm_dtype = jnp.bfloat16  # one-hots and split planes are bf16-exact
+    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    row_align = 16 if exact_bf16 else 8
+    HP = _round_up(H, row_align)
+    WP = _round_up(W, 128)
+
+    # ---- static per-axis maps ------------------------------------------------
+    pxi, pyi, fx1d, fy1d = nis_source_maps(OW, OH, cfg)
+    fx_int = np.clip((fx1d * F32(64)).astype(np.int32), 0, 63)
+    fy_int = np.clip((fy1d * F32(64)).astype(np.int32), 0, 63)
+    # NVScaler bilinear tap (NIS_Scaler.h:747-761): u = (x+0.5)*kDstNorm
+    uo = (np.arange(OW, dtype=np.float32) + F32(0.5)) * cfg.kDstNormX
+    vo = (np.arange(OH, dtype=np.float32) + F32(0.5)) * cfg.kDstNormY
+    ox0, ofx = bilinear_axis_maps(uo * F32(W) - F32(0.5))
+    oy0, ofy = bilinear_axis_maps(vo * F32(H) - F32(0.5))
+    # DirectCopy fallback (NIS_Upscale.hlsl:77-90): u = x/outW
+    fx0, ffx = bilinear_axis_maps(
+        np.arange(OW, dtype=np.float32) / F32(OW) * F32(W) - F32(0.5))
+    fy0, ffy = bilinear_axis_maps(
+        np.arange(OH, dtype=np.float32) / F32(OH) * F32(H) - F32(0.5))
+
+    def _pad(a):
+        a = np.asarray(a)
+        return (np.concatenate([a, np.repeat(a[-1:], OWP - OW)])
+                if OWP > OW else a)
+
+    pxi_p, fx_int_p, ox0_p, ofx_p, fx0_p, ffx_p, fx1d_p = map(
+        _pad, (pxi, fx_int, ox0, ofx, fx0, ffx, fx1d))
+
+    # ---- per-band input row windows -------------------------------------------
+    rows_out = np.clip(np.arange(GY)[:, None] * TH + np.arange(TH)[None, :],
+                       0, OH - 1)
+    ylo = np.minimum.reduce([
+        np.clip(pyi[rows_out[:, 0]] - 2, 0, H - 1),
+        np.clip(oy0[rows_out[:, 0]], 0, H - 1),
+        np.clip(fy0[rows_out[:, 0]], 0, H - 1)])
+    yhi = np.maximum.reduce([
+        np.clip(pyi[rows_out[:, -1]] + 3, 0, H - 1),
+        np.clip(oy0[rows_out[:, -1]] + 1, 0, H - 1),
+        np.clip(fy0[rows_out[:, -1]] + 1, 0, H - 1)])
+    lo_a = (ylo // row_align) * row_align
+    IH = min(_round_up(int((yhi - lo_a + 1).max()), row_align), HP)
+    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+
+    # ---- per-chunk input column windows ----------------------------------------
+    cw0, cKc = [], 0
+    for k in range(NCHUNK):
+        c0, c1 = k * CHUNK, k * CHUNK + CHUNK - 1
+        klo = min(int(np.clip(pxi_p[c0] - 2, 0, W - 1)),
+                  int(np.clip(ox0_p[c0], 0, W - 1)),
+                  int(np.clip(fx0_p[c0], 0, W - 1)))
+        khi = max(int(np.clip(pxi_p[c1] + 3, 0, W - 1)),
+                  int(np.clip(ox0_p[c1] + 1, 0, W - 1)),
+                  int(np.clip(fx0_p[c1] + 1, 0, W - 1)))
+        cw0.append(klo)
+        cKc = max(cKc, khi - klo + 1)
+    KC = min(cKc, W)
+    cw0 = [min(w0, W - KC) for w0 in cw0]
+
+    # ---- one-hot gather stacks --------------------------------------------------
+    # rows: [dy=-2..3 (6 blocks), y0op, y1op, y0fb, y1fb] -> (GY, 10*TH, IH)
+    def _row_oh(rows, band):
+        loc = np.clip(rows, 0, H - 1) - oy_all[band]
+        return loc[:, None] == np.arange(IH)[None, :]
+
+    rstack = np.zeros((GY, 10 * TH, IH), np.float32)
+    for i in range(GY):
+        r = rows_out[i]
+        blocks = [_row_oh(pyi[r] + dy, i) for dy in _NIS_DYS]
+        blocks += [_row_oh(oy0[r], i), _row_oh(oy0[r] + 1, i),
+                   _row_oh(fy0[r], i), _row_oh(fy0[r] + 1, i)]
+        rstack[i] = np.concatenate(blocks, axis=0)
+
+    sstack = np.zeros((NCHUNK, KC, 10 * CHUNK), np.float32)
+    for k in range(NCHUNK):
+        cs_ = slice(k * CHUNK, k * CHUNK + CHUNK)
+        blocks = [np.clip(pxi_p[cs_] + dx, 0, W - 1) - cw0[k] for dx in _NIS_DYS]
+        blocks += [np.clip(ox0_p[cs_], 0, W - 1) - cw0[k],
+                   np.clip(ox0_p[cs_] + 1, 0, W - 1) - cw0[k],
+                   np.clip(fx0_p[cs_], 0, W - 1) - cw0[k],
+                   np.clip(fx0_p[cs_] + 1, 0, W - 1) - cw0[k]]
+        sstack[k] = (np.arange(KC)[:, None] == np.concatenate(blocks)[None, :])
+
+    # ---- circulant LUT blocks -----------------------------------------------
+    # index j = ((v*2 + t)*6 + i)*3 + s  for variant v (carry), table t
+    # (scale/usm), tap i, split s; Circ[m, k] = split_s(T_t[(m+k+v) % 64, i])
+    mgrid = np.arange(64)[:, None] + np.arange(64)[None, :]
+    circs = []
+    for v in (0, 1):
+        for tab in (COEF_SCALE, COEF_USM):
+            for i in range(6):
+                col = np.asarray(tab[:, i], np.float32)
+                circs.extend(_split3_np(col[(mgrid + v) % 64]))
+    NCIRC = len(circs)  # 72
+    circ_stack = np.stack(circs, 0)
+
+    # phase one-hots: 45deg uses b = trunc(64*fy); 135deg uses 63 - b
+    b45 = fy_int[rows_out]
+    boh45 = np.zeros((GY, TH, 64), np.float32)
+    boh135 = np.zeros((GY, TH, 64), np.float32)
+    for i in range(GY):
+        boh45[i] = b45[i][:, None] == np.arange(64)[None, :]
+        boh135[i] = (63 - b45[i])[:, None] == np.arange(64)[None, :]
+    aoh = np.zeros((NCHUNK, 64, CHUNK), np.float32)
+    for k in range(NCHUNK):
+        aoh[k] = (np.arange(64)[:, None]
+                  == fx_int_p[k * CHUNK:k * CHUNK + CHUNK][None, :])
+
+    # ---- packed static per-row / per-column maps -------------------------------
+    # layout (18 slots): 0 f, 1 64f, 2 phase-int, 3..8 COEF_SCALE[ph]
+    # (= FilterNormal coef = f0/f90 scale coef), 9..14 COEF_USM[ph],
+    # 15 lo-mask(ph<=32), 16 op-bilinear frac, 17 fallback frac
+    def _coefs(tab, ph):
+        return [np.asarray(tab[:, i].take(ph), np.float32) for i in range(6)]
+
+    rowpack = np.zeros((GY, 18, TH, 1), np.float32)
+    for i in range(GY):
+        r = rows_out[i]
+        ph = fy_int[r]
+        cols = ([fy1d[r], F32(64) * fy1d[r], ph.astype(np.float32)]
+                + _coefs(COEF_SCALE, ph) + _coefs(COEF_USM, ph)
+                + [(ph <= 32).astype(np.float32), ofy[r], ffy[r]])
+        rowpack[i] = np.stack(cols, 0)[:, :, None]
+
+    colpack = np.zeros((NCHUNK, 18, 1, CHUNK), np.float32)
+    for k in range(NCHUNK):
+        cs_ = slice(k * CHUNK, k * CHUNK + CHUNK)
+        ph = fx_int_p[cs_]
+        cols = ([fx1d_p[cs_], F32(64) * fx1d_p[cs_], ph.astype(np.float32)]
+                + _coefs(COEF_SCALE, ph) + _coefs(COEF_USM, ph)
+                + [(ph <= 32).astype(np.float32), ofx_p[cs_], ffx_p[cs_]])
+        colpack[k] = np.stack(cols, 0)[:, None, :]
+
+    # ---- mask state over 32x24 scaler blocks (NIS_Upscale.hlsl:95-107) ----------
+    centres = np.asarray(centres, np.int64).reshape(B, 5)
+    cls = np.zeros((B, GY, NCHUNK), np.int32)
+    mstate = np.zeros((B, GY, TH, OWP), np.int8)
+    row_ok = (np.arange(GY)[:, None] * TH + np.arange(TH)[None, :]) < OH
+    for bi in range(B):
+        pm = fov.pixel_mask(OW, OH, fov.TILE_NIS_SCALER,
+                            ((centres[bi, 0], centres[bi, 1]),
+                             (centres[bi, 2], centres[bi, 3])),
+                            int(centres[bi, 4]))
+        pm_p = np.zeros((OH, OWP), bool)
+        pm_p[:, :OW] = pm
+        for i in range(GY):
+            st = pm_p[rows_out[i]].astype(np.int8)
+            st[~row_ok[i]] = 2
+            st[:, OW:] = 2
+            mstate[bi, i] = st
+            for k in range(NCHUNK):
+                ins = st[:, k * CHUNK:(k + 1) * CHUNK] == 1
+                cls[bi, i, k] = 2 if ins.all() else (1 if ins.any() else 0)
+    cls_flat = cls.reshape(-1)
+
+    def _mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
+    def kernel(oy_ref, cls_ref,
+               img, mst_r, rst_r, sst_r, boh45_r, boh135_r, aoh_r, circ_r,
+               rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        step = b * GY + i
+
+        def dma(slot, bb, ii):
+            return pltpu.make_async_copy(
+                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
+                inbuf.at[slot], sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, b, i).start()
+
+        @pl.when(step + 1 < TOTAL)
+        def _():
+            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
+
+        slot = jax.lax.rem(step, 2)
+        dma(slot, b, i).wait()
+        band = inbuf[slot]                       # (4, IH, WP) integer texels
+
+        # exact 3-split luma plane of the band (getY, NIS_Scaler.h:167)
+        y01b = (F32(0.2126) * (band[0].astype(jnp.float32) * inv_cmax)
+                + F32(0.7152) * (band[1].astype(jnp.float32) * inv_cmax)
+                + F32(0.0722) * (band[2].astype(jnp.float32) * inv_cmax))
+        ysp = _split3(y01b)
+
+        r_taps = rst_r[0][:6 * TH]
+        r_op = rst_r[0][6 * TH:8 * TH]
+        r_fb = rst_r[0][8 * TH:]
+
+        # circulant stage 1 (per band): W[j] = Boh @ Circ_j — exact selections
+        w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
+                               for j in range(NCIRC)], axis=0)
+        w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
+                                for j in range(NCIRC)], axis=0)
+
+        rp = rowp_r[0]                           # (18, TH, 1)
+        fy, fy64 = rp[0], rp[1]
+        byi = rp[2].astype(jnp.int32)
+        cy = [rp[3 + j] for j in range(6)]
+        cuy = [rp[9 + j] for j in range(6)]
+        loy = rp[15] > F32(0.5)
+        ofy_t, ffy_t = rp[16], rp[17]
+
+        one = F32(1.0)
+        n255 = F32(255.0)
+
+        for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
+            c0 = k * CHUNK
+            w0 = cw0[k]
+            tcls = cls_ref[step * NCHUNK + k]
+            cp = colp_r[k]                       # (18, 1, CHUNK)
+
+            @pl.when(tcls > 0)
+            def _(k=k, c0=c0, w0=w0, cp=cp):
+                fx, fx64 = cp[0], cp[1]
+                axi = cp[2].astype(jnp.int32)
+                cx = [cp[3 + j] for j in range(6)]
+                cux = [cp[9 + j] for j in range(6)]
+                lox = cp[15] > F32(0.5)
+                ofx_c = cp[16]
+
+                sall = sst_r[k]
+                # ---- 6x6 luma taps (3 exact bf16 splits) -------------------
+                g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
+                p01 = {}
+                for dxk, dx in enumerate(_NIS_DYS):
+                    scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
+                    t = [_mm(gs, scol) for gs in g]
+                    for dyk in range(6):
+                        sl = slice(dyk * TH, (dyk + 1) * TH)
+                        p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
+                p = {k2: v * n255 for k2, v in p01.items()}
+
+                # ---- FilterNormal (NIS_Scaler.h:436-453) -------------------
+                pixel_n = None
+                for j in range(6):
+                    v_acc = p[0, j] * cy[0]
+                    for ii in range(1, 6):
+                        v_acc = v_acc + p[ii, j] * cy[ii]
+                    term = v_acc * cx[j]
+                    pixel_n = term if pixel_n is None else pixel_n + term
+
+                # ---- f0 / f90 ----------------------------------------------
+                interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fx) for ii in range(6)]
+                f0 = eval_poly6_core(interp0, cy, cuy, loy, cfg)
+                interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fy) for ii in range(6)]
+                f90 = eval_poly6_core(interp90, cx, cux, lox, cfg)
+
+                # ---- diagonal phases + circulant coefficient planes --------
+                cc45 = _mm(w45, aoh_r[k])        # (72*TH, CHUNK)
+                cc135 = _mm(w135, aoh_r[k])
+
+                def coefs(cc, v, t):
+                    out = []
+                    for ii in range(6):
+                        j0 = (((v * 2 + t) * 6 + ii) * 3)
+                        out.append((cc[j0 * TH:(j0 + 1) * TH]
+                                    + cc[(j0 + 1) * TH:(j0 + 2) * TH])
+                                   + cc[(j0 + 2) * TH:(j0 + 3) * TH])
+                    return out
+
+                s45 = fx64 + fy64
+                s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
+                ph45 = s45.astype(jnp.int32)
+                base45 = axi + byi
+                base45 = jnp.where(base45 >= 64, base45 - 64, base45)
+                cr45 = (ph45 != base45)[None]
+                cs45 = [jnp.where(cr45[0], a, b) for a, b in
+                        zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
+                cu45 = [jnp.where(cr45[0], a, b) for a, b in
+                        zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
+
+                s135 = F32(64.0) + (fx64 - fy64)
+                s135 = jnp.where(s135 >= F32(64.0), s135 - F32(64.0), s135)
+                ph135 = s135.astype(jnp.int32)
+                base135 = axi - byi + 63
+                base135 = jnp.where(base135 >= 64, base135 - 64, base135)
+                cs135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                         zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
+                cu135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                         zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
+
+                # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
+                b45v = F32(0.5) + F32(0.5) * (fx - fy)
+                t45 = [None] * 7
+                t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
+                t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
+                t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
+                hi45 = b45v >= F32(0.5)
+                b45p = jnp.where(hi45, b45v - F32(0.5), F32(0.5) - b45v)
+                t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
+                                   hlsl_lerp(p[1, 1], p[2, 0], b45p))
+                t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
+                                   hlsl_lerp(p[2, 2], p[3, 1], b45p))
+                t45[4] = jnp.where(hi45, hlsl_lerp(p[3, 3], p[2, 4], b45p),
+                                   hlsl_lerp(p[3, 3], p[4, 2], b45p))
+                t45[6] = jnp.where(hi45, hlsl_lerp(p[4, 4], p[3, 5], b45p),
+                                   hlsl_lerp(p[4, 4], p[5, 3], b45p))
+                wrap = (fx + fy) >= F32(1.0)
+                interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
+                            for ii in range(6)]
+                f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32, cfg)
+
+                b135v = F32(0.5) * (fx + fy)
+                t135 = [None] * 7
+                t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
+                t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
+                t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
+                hi135 = b135v >= F32(0.5)
+                b135p = jnp.where(hi135, b135v - F32(0.5), F32(0.5) - b135v)
+                t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
+                                    hlsl_lerp(p[4, 1], p[3, 0], b135p))
+                t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
+                                    hlsl_lerp(p[3, 2], p[2, 1], b135p))
+                t135[4] = jnp.where(hi135, hlsl_lerp(p[2, 3], p[3, 4], b135p),
+                                    hlsl_lerp(p[2, 3], p[1, 2], b135p))
+                t135[6] = jnp.where(hi135, hlsl_lerp(p[1, 4], p[2, 5], b135p),
+                                    hlsl_lerp(p[1, 4], p[0, 3], b135p))
+                wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
+                interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
+                             for ii in range(6)]
+                f135 = eval_poly6_core(interp135, cs135, cu135, ph135 <= 32, cfg)
+
+                # ---- edge map at the 4 corners, from the same luma taps ----
+                ws = []
+                for ci in (0, 1):
+                    for cj in (0, 1):
+                        p3 = {(rr, cc2): p01[2 + ci - 1 + rr, 2 + cj - 1 + cc2]
+                              for rr in range(3) for cc2 in range(3)}
+                        ws.append(_edge_weights_jax(*_edge_grads(p3), cfg))
+                wk = []
+                for k4 in range(4):
+                    h0 = hlsl_lerp(ws[0][k4], ws[1][k4], fx)
+                    h1 = hlsl_lerp(ws[2][k4], ws[3][k4], fx)
+                    wk.append(hlsl_lerp(h0, h1, fy) * n255)
+
+                op_y = (f0 * wk[0] + f90 * wk[1] + f45 * wk[2] + f135 * wk[3]
+                        + pixel_n * (n255 - wk[0] - wk[1] - wk[2] - wk[3])
+                        ) * F32(1.0 / 255.0)
+
+                # ---- NVScaler bilinear RGBA tap + luma correction ----------
+                op = []
+                for c in range(4):
+                    gb = _mm(r_op, band[c, :, w0:w0 + KC])
+                    t0 = _mm(gb, sall[:, 6 * CHUNK:7 * CHUNK]) * inv_cmax
+                    t1 = _mm(gb, sall[:, 7 * CHUNK:8 * CHUNK]) * inv_cmax
+                    # bilinear_sample_jax form: c00*(1-fx) + c10*fx
+                    top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
+                    bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
+                    op.append(top * (one - ofy_t) + bot * ofy_t)
+                corr = op_y * F32(1.0 / 255.0) - (
+                    F32(0.2126) * op[0] + F32(0.7152) * op[1]
+                    + F32(0.0722) * op[2])
+                s_nis[0, :, c0:c0 + CHUNK] = op[0] + corr
+                s_nis[1, :, c0:c0 + CHUNK] = op[1] + corr
+                s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
+                s_nis[3, :, c0:c0 + CHUNK] = op[3]
+
+            @pl.when(tcls < 2)
+            def _(k=k, c0=c0, w0=w0, cp=cp):
+                ffx_c = cp[17]
+                for c in range(3):
+                    gb = _mm(r_fb, band[c, :, w0:w0 + KC])
+                    t0 = _mm(gb, sst_r[k][:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
+                    t1 = _mm(gb, sst_r[k][:, 9 * CHUNK:]) * inv_cmax
+                    top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
+                    bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
+                    s_fb[c, :, c0:c0 + CHUNK] = (top * (one - ffy_t)
+                                                 + bot * ffy_t)
+
+        # ---- band-wide select ------------------------------------------------
+        ms = mst_r[0, 0].astype(jnp.int32)
+        m_in = (ms == 1)[None]
+        if tint is not None:
+            fbv = jnp.stack([s_fb[0], s_fb[1] * tint[0], s_fb[2] * tint[1]], 0)
+        else:
+            fbv = s_fb[:]
+        rgb = jnp.where(m_in, s_nis[:3], fbv)[:, :, :OW]
+        alpha = jnp.where(m_in, s_nis[3:4], F32(1.0))[:, :, :OW]
+        out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, GY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, 10 * TH, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, KC, 10 * CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, 64, CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((NCIRC, 64, 64), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, 18, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((NCHUNK, 18, 1, CHUNK), lambda b, i, *_: (0, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 4, TH, OW), lambda b, i, *_: (b, 0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, 4, IH, WP), in_dtype),
+            pltpu.VMEM((4, TH, OWP), jnp.float32),
+            pltpu.VMEM((3, TH, OWP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 4, OH, OW), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
+               jnp.asarray(mstate),
+               jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype),
+               jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype),
+               jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype),
+               jnp.asarray(rowpack), jnp.asarray(colpack)]
+
+    def fn(img):
+        img = img.astype(in_dtype)
+        if HP != H or WP != W:
+            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        return call(statics[0], statics[1], img, *statics[2:])
 
     return fn

@@ -106,9 +106,11 @@ def _bake_coefs(table, phase_int):
     return [np.asarray(table[:, i].take(phase_int), np.float32) for i in range(6)]
 
 
-def _eval_poly6_jax(pxl6, phase_int, cfg):
-    cs = _bake_coefs(COEF_SCALE, phase_int)
-    cu = _bake_coefs(COEF_USM, phase_int)
+def eval_poly6_core(pxl6, cs, cu, lo_mask, cfg):
+    """EvalPoly6 (NIS_Scaler.h:399-434) with explicit coefficient arrays —
+    cs/cu: 6 scale/USM coefficient planes (static or traced), lo_mask:
+    phase <= 32 (the CalcLTI tap-window select). Shared by the XLA op and
+    the Pallas NVScaler kernel."""
     y = cs[0] * pxl6[0]
     for i in range(1, 6):
         y = y + cs[i] * pxl6[i]
@@ -120,8 +122,14 @@ def _eval_poly6_jax(pxl6, phase_int, cfg):
     y_usm = y_usm * y_sharpness
     y_limit = (y_scale * cfg.kSharpLimitScale + cfg.kSharpLimitMin) * y
     y_usm = jnp.minimum(y_limit, jnp.maximum(-y_limit, y_usm))
-    y_usm = y_usm * _calc_lti_jax(pxl6, phase_int <= 32, cfg)
+    y_usm = y_usm * _calc_lti_jax(pxl6, lo_mask, cfg)
     return y + y_usm
+
+
+def _eval_poly6_jax(pxl6, phase_int, cfg):
+    cs = _bake_coefs(COEF_SCALE, phase_int)
+    cu = _bake_coefs(COEF_USM, phase_int)
+    return eval_poly6_core(pxl6, cs, cu, phase_int <= 32, cfg)
 
 
 def nis_source_maps(out_w, out_h, cfg):
@@ -136,14 +144,25 @@ def nis_source_maps(out_w, out_h, cfg):
             (src_x - px).astype(np.float32), (src_y - py).astype(np.float32))
 
 
-def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig):
-    """rgba: (4, H, W) f32 in [0,1]. Returns (4, out_h, out_w) f32."""
+def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None):
+    """rgba: (4, H, W) f32 in [0,1]. Returns (4, out_h, out_w) f32.
+
+    rows/cols: optional numpy index arrays selecting a sub-grid of output
+    pixels (used to patch the Pallas kernel's border rows exactly)."""
     _, h, w = rgba.shape
     y01 = get_y_jax(rgba)
     ys255 = y01 * NIS_SCALE_FLOAT
     emap = edge_map_plane_jax(y01, cfg)
 
     pxi, pyi, fx1d, fy1d = nis_source_maps(out_w, out_h, cfg)
+    u_full = (np.arange(out_w, dtype=np.float32) + F32(0.5)) * cfg.kDstNormX
+    v_full = (np.arange(out_h, dtype=np.float32) + F32(0.5)) * cfg.kDstNormY
+    if rows is not None:
+        pyi, fy1d, v_full = pyi[rows], fy1d[rows], v_full[rows]
+        out_h = len(rows)
+    if cols is not None:
+        pxi, fx1d, u_full = pxi[cols], fx1d[cols], u_full[cols]
+        out_w = len(cols)
     fx = fx1d[None, :]                       # (1, Wo) static numpy
     fy = fy1d[:, None]                       # (Ho, 1)
     fx_int = (fx1d * F32(64)).astype(np.int32)
@@ -218,9 +237,7 @@ def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig):
             + pixel_n * (NIS_SCALE_FLOAT - ws[0] - ws[1] - ws[2] - ws[3])
             ) * F32(1.0 / 255.0)
 
-    u = (np.arange(out_w, dtype=np.float32) + F32(0.5)) * cfg.kDstNormX
-    v = (np.arange(out_h, dtype=np.float32) + F32(0.5)) * cfg.kDstNormY
-    op = bilinear_sample_jax(rgba, u, v)
+    op = bilinear_sample_jax(rgba, u_full, v_full)
     corr = op_y * F32(1.0 / 255.0) - get_y_jax(op)
     return jnp.concatenate([op[:3] + corr[None], op[3:4]], axis=0)
 

@@ -92,6 +92,18 @@ class TestFusedFsrKernel:
                              use_nis=True)
         _assert_close(got, ref)
 
+    @pytest.mark.parametrize("radius", [2.0, 0.5, 0.0])
+    def test_nvscaler_matches_xla(self, radius):
+        """NIS upscaling -> kernels/nis.py NVScaler (circulant 64-phase LUT,
+        exact 3-split bf16 luma gathers, XLA border-strip patching)."""
+        got, ref = _run_pair(96, 130, radius, rs=0.75, use_nis=True)
+        _assert_close(got, ref)
+
+    def test_nvscaler_debug_tint(self):
+        got, ref = _run_pair(64, 72, radius=0.3, rs=0.75, use_nis=True,
+                             debug=True)
+        _assert_close(got, ref)
+
     def test_batch_one(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
         f = FR.gradient_frame(80, 96)
