@@ -27,7 +27,16 @@ def capture_filename(use_nis, sharpness, radius, ext="dds", ts=None):
 
 
 def write_dds_rgba8(path, rgba):
-    """Minimal uncompressed 32-bit ABGR DDS writer (DirectXTK-compatible)."""
+    """Uncompressed 32-bit RGBA DDS writer (DirectXTK-compatible).
+
+    Uses the native C++ encoder (native/src/ovrfsr_native.cc, the
+    ScreenGrab11 analog) when available; pure-Python fallback otherwise."""
+    try:
+        from ..native_rt import dds_write_native
+        if dds_write_native(path, rgba):
+            return
+    except Exception:
+        pass
     rgba = np.ascontiguousarray(np.asarray(rgba, np.uint8))
     h, w = rgba.shape[:2]
     buf = bytearray(128)

@@ -86,6 +86,34 @@ def strip_json_comments(text):
     return _LINE_COMMENT.sub(lambda m: m.group(1) or "", text)
 
 
+def _parse_fsr_object(text):
+    """The 'fsr' object + nested hotkeys as plain dicts. Prefers the native
+    C++ scanner (native/src/ovrfsr_native.cc, the jsoncpp analog); falls back
+    to Python json on a stripped-comment source."""
+    try:
+        from ..native_rt import parse_cfg_native
+        flat = parse_cfg_native(text)
+    except Exception:
+        flat = None
+    if flat is not None:
+        def conv(v):
+            if v in ("true", "false"):
+                return v == "true"
+            try:
+                return int(v)
+            except ValueError:
+                try:
+                    return float(v)
+                except ValueError:
+                    return v
+        fsr = {k: conv(v) for k, v in flat.items() if "." not in k}
+        fsr["hotkeys"] = {k.split(".", 1)[1]: conv(v) for k, v in flat.items()
+                          if k.startswith("hotkeys.")}
+        return fsr
+    root = json.loads(strip_json_comments(text))
+    return root.get("fsr", {})
+
+
 def load_config(path=None, text=None):
     """Load an openvr_mod.cfg-style JSON config. Missing file or parse error
     -> defaults (Config.h:59-61: silent fallback)."""
@@ -97,10 +125,9 @@ def load_config(path=None, text=None):
         except OSError:
             return Config()
     try:
-        root = json.loads(strip_json_comments(text))
+        fsr = _parse_fsr_object(text)
     except (json.JSONDecodeError, ValueError):
         return Config()
-    fsr = root.get("fsr", {})
     hk = fsr.get("hotkeys", {})
     sharpness = float(fsr.get("sharpness", 1.0))
     if sharpness < 0:
