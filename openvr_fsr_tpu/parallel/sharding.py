@@ -45,13 +45,39 @@ class ShardedPipeline:
         self.mesh = mesh or make_mesh()
 
     def process(self, frames, eyes=None):
+        """SPMD over the mesh via shard_map: every device runs the full
+        per-frame program (including the Pallas kernels — custom calls are
+        not auto-partitionable, so shard_map is the correct mechanism) on its
+        local batch slice. No collectives in the hot path."""
+        from jax.sharding import PartitionSpec
+
         frames = jnp.asarray(frames)
-        b = frames.shape[0]
+        b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         n = self.mesh.devices.size
         if b % n != 0:
             raise ValueError(f"batch {b} not divisible by mesh size {n}")
-        sharded = shard_batch(frames, self.mesh)
-        # The per-frame program is identical across devices (masks repeat per
-        # stereo pair), so jit with sharded inputs runs SPMD with no
-        # collectives.
-        return self.pipeline.process(sharded, eyes=eyes)
+        local_b = b // n
+        if eyes is None:
+            eyes = tuple(i % 2 for i in range(b))
+        else:
+            eyes = tuple(int(e) for e in eyes)
+        # every shard must see the same per-entry eye pattern
+        pattern = eyes[:local_b]
+        if eyes != pattern * n:
+            raise ValueError(
+                "per-shard eye pattern must repeat across shards "
+                f"(local batch {local_b}); got {eyes}")
+
+        axis = self.mesh.axis_names[0]
+        key = ("shard", local_b, h, w, str(frames.dtype), pattern,
+               self.pipeline.config, n)
+        fn = self.pipeline._cache.get(key)
+        if fn is None:
+            local_fn = self.pipeline._build(local_b, h, w, pattern)
+            spec = PartitionSpec(axis, None, None, None)
+            # check_vma=False: pallas_call out_shapes carry no vma metadata
+            fn = jax.jit(jax.shard_map(local_fn, mesh=self.mesh,
+                                       in_specs=(spec,), out_specs=spec,
+                                       check_vma=False))
+            self.pipeline._cache[key] = fn
+        return fn(shard_batch(frames, self.mesh, axis))
