@@ -104,6 +104,18 @@ class TestFusedFsrKernel:
                              debug=True)
         _assert_close(got, ref)
 
+    def test_10bit_r10g10b10a2(self):
+        """10-bit texels exceed bf16 integer range -> f32 HIGHEST matmuls."""
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 1024, (2, 64, 72, 4), dtype=np.uint16)
+        frames[..., 3] = 3
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
+        ref = Pipeline(cfg, backend="xla", color_bits=10).process(
+            frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=_backend(), color_bits=10).process(
+            frames, eyes=(0, 1))
+        _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
+
     def test_batch_one(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
         f = FR.gradient_frame(80, 96)
