@@ -1,0 +1,85 @@
+"""FFX CAS sharpen-only: oracle properties + XLA parity (oracle/cas.py,
+ops/cas.py — the vestigial third kernel, old-release parity)."""
+
+import numpy as np
+import pytest
+
+from openvr_fsr_tpu.oracle.cas import cas_setup, cas_sharpen_oracle
+from openvr_fsr_tpu.ops.cas import cas_sharpen_jax, cas_setup_sharp
+from openvr_fsr_tpu.utils import frames as FR
+
+
+def exactness_tol():
+    import jax
+    return 0.0 if jax.default_backend() == "cpu" else 4e-6
+
+
+class TestCasOracle:
+    def test_setup_range(self):
+        # sharp = -1/lerp(8,5,s): s=0 -> -0.125, s=1 -> -0.2 (ffx_cas.h:391)
+        assert cas_setup(0.0) == np.float32(-0.125)
+        assert cas_setup(1.0) == np.float32(-0.2)
+
+    def test_flat_field_unchanged(self):
+        img = np.full((16, 16, 3), 0.5, np.float32)
+        out = cas_sharpen_oracle(img, 0.8)
+        assert np.abs(out[2:-2, 2:-2] - 0.5).max() < 2e-3  # aprx rcp tolerance
+
+    def test_sharpening_steepens_edges(self):
+        # soft vertical step: sharpening must increase the edge gradient
+        x = np.linspace(0, 1, 32, dtype=np.float32)
+        ramp = np.clip((x - 0.4) * 4.0, 0, 1).astype(np.float32)
+        img = np.broadcast_to(ramp[None, :, None], (32, 32, 3)).copy()
+        out = cas_sharpen_oracle(img, 1.0)
+        g_in = np.abs(np.diff(img[16, 4:-4, 1]))
+        g_out = np.abs(np.diff(out[16, 4:-4, 1]))
+        assert g_out.max() > g_in.max()
+
+    def test_max_color_delta_clamps(self):
+        img = (FR.noise_frame(24, 24)[..., :3].astype(np.float32) / 255)
+        out = cas_sharpen_oracle(img, 1.0, max_color_delta=0.01)
+        assert np.abs(out - img).max() <= 0.01 + 1e-6
+
+
+class TestCasJax:
+    def test_matches_oracle(self):
+        img = FR.noise_frame(40, 56, seed=7)[..., :3].astype(np.float32) / np.float32(255)
+        want = cas_sharpen_oracle(img, 0.7)
+        got = np.asarray(cas_sharpen_jax(img.transpose(2, 0, 1), 0.7))
+        assert np.abs(got.transpose(1, 2, 0) - want).max() <= exactness_tol()
+
+    def test_setup_matches(self):
+        for s in (0.0, 0.3, 0.7, 1.0):
+            assert cas_setup_sharp(s) == cas_setup(s)
+
+
+class TestModels:
+    def test_get_model_families(self):
+        from openvr_fsr_tpu.models import get_model, FsrModel, NisModel, CasModel
+
+        assert isinstance(get_model("fsr"), FsrModel)
+        assert isinstance(get_model("nis"), NisModel)
+        assert isinstance(get_model("cas"), CasModel)
+
+    def test_fsr_model_runs(self):
+        from openvr_fsr_tpu.models import FsrModel
+
+        m = FsrModel(render_scale=0.75, backend="xla")
+        out = m(FR.gradient_frame(32, 32))
+        assert out.shape == (42, 42, 4)
+
+    def test_cas_model_roundtrip(self):
+        from openvr_fsr_tpu.models import CasModel
+
+        f = FR.noise_frame(24, 28, seed=2)
+        out = np.asarray(CasModel(sharpness=0.7)(f))
+        assert out.shape == f.shape and out.dtype == np.uint8
+        # alpha passthrough
+        assert np.array_equal(out[..., 3], f[..., 3])
+        # parity vs oracle composition
+        want = cas_sharpen_oracle(f[..., :3].astype(np.float32)
+                                  * np.float32(1 / 255), 0.7)
+        want8 = np.rint(np.clip(want, 0, 1) * 255).astype(np.uint8)
+        import jax
+        tol = 0 if jax.default_backend() == "cpu" else 1
+        assert np.abs(out[..., :3].astype(int) - want8.astype(int)).max() <= tol
