@@ -58,13 +58,15 @@ class Pipeline:
     """
 
     def __init__(self, config: Config = None, eye_centers=None,
-                 single_eye_per_frame=True, color_bits=None, backend="auto"):
+                 single_eye_per_frame=True, color_bits=None, backend="auto",
+                 precision="full"):
         self.config = config or Config(enabled=True)
         self.eye_centers = eye_centers or default_centers()
         self.single_eye_per_frame = single_eye_per_frame
         self.color_bits = int(color_bits or 8)
         self.alpha_bits = 8 if self.color_bits == 8 else 2
         self.backend = backend  # auto | pallas | xla | pallas-interpret
+        self.precision = precision  # full (oracle parity) | half (fp16 analog)
         self._cache = {}
         self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
         self._log = get_logger()
@@ -156,7 +158,7 @@ class Pipeline:
             b, h, w, out_w, out_h, sharpness=cfg.sharpness,
             centres=self._centres_array(out_w, out_h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
-            interpret=interpret)
+            precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         def run(frames):
@@ -394,7 +396,7 @@ class Pipeline:
         else:
             eyes = tuple(int(e) for e in eyes)
         key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits,
-               self._resolve_backend())
+               self._resolve_backend(), self.precision)
         fn = self._cache.get(key)
         if fn is None:
             self._log.info(

@@ -94,7 +94,7 @@ def _pad_cols(arrs, n, n_pad):
 
 def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     centres, color_bits=8, debug=False, band_rows=128,
-                    chunk=_CHUNK, interpret=False):
+                    chunk=_CHUNK, precision="full", interpret=False):
     """Build the fused stereo FSR kernel for a fixed shape/config.
 
     Args:
@@ -106,6 +106,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
       color_bits: 8 (RGBA8) or 10 (R10G10B10A2 passthrough).
       debug: out-of-radius tint 1-(0, .3, .3) (fsr_rcas.hlsl:46).
       band_rows: output rows per grid step (multiple of 8, or >= out_h).
+      precision: "full" = f32 parity with the oracle; "half" = bf16
+        elementwise math — the analog of the reference's packed-fp16
+        FsrEasuH/FsrRcasHx2 fast path (ffx_fsr1.h:445-594, 874+).
 
     Returns fn(img) -> rgb where img is (B, 3, in_h, in_w) float32 holding
     *integer* texel values (0..2^bits-1) and rgb is (B, 3, out_h, out_w)
@@ -124,6 +127,8 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     cmax = F32((1 << color_bits) - 1)
     inv_cmax = F32(1.0) / cmax
     exact_bf16 = color_bits <= 8 and not _FORCE_HIGHEST  # ints <= 255: bf16-exact
+    import ml_dtypes
+    core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
     sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
     tint = (F32(0.7), F32(0.7)) if debug else None  # g,b multipliers
 
@@ -291,7 +296,8 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                                 taps.setdefault((dx, dy), []).append(
                                     t[kk * TH_E:(kk + 1) * TH_E])
                 taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
-                s_easu[:, :, c0:c0 + CHUNK] = easu_core(taps, ppx_c, ppy_t)
+                s_easu[:, :, c0:c0 + CHUNK] = easu_core(
+                    taps, ppx_c, ppy_t, dt=core_dt).astype(jnp.float32)
 
             def _bil_chunk(k=k, c0=c0, w0=w0):
                 sb0 = sst_r[k, :, 4 * CHUNK:5 * CHUNK]
@@ -330,7 +336,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         sh = rcas_core(
             qx[:, 0:TH, 1:1 + OWP], qx[:, 1:1 + TH, 0:OWP], e,
             qx[:, 1:1 + TH, 2:2 + OWP], qx[:, 2:2 + TH, 1:1 + OWP],
-            sharp_lin)
+            sharp_lin, dt=core_dt).astype(jnp.float32)
         m_in = (ms[1:1 + TH] == 1)[None]
         if tint is not None:
             fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)

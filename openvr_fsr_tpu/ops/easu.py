@@ -20,17 +20,40 @@ _TAP_ORDER = [  # exact FsrEasuF accumulation order (ffx_fsr1.h:423-434)
 TAP_ORDER = _TAP_ORDER
 
 
-def easu_core(taps, ppx, ppy):
+def easu_core(taps, ppx, ppy, dt=F32):
     """The FsrEasuF math after the 12 taps are gathered (ffx_fsr1.h:363-437).
 
-    taps: dict (dx, dy) -> (C, h, w) f32 arrays for the 12 offsets in
-    TAP_ORDER. ppx/ppy: f32 fractional coordinates broadcastable against
-    (h, w) — typically (1, w) and (h, 1). Pure jnp, so it runs identically
-    under XLA and inside a Pallas kernel (same f32 op ordering as the HLSL).
+    taps: dict (dx, dy) -> (C, h, w) arrays for the 12 offsets in TAP_ORDER.
+    ppx/ppy: fractional coordinates broadcastable against (h, w) — typically
+    (1, w) and (h, 1). Pure jnp, so it runs identically under XLA and inside
+    a Pallas kernel (same f32 op ordering as the HLSL).
+
+    dt: constant dtype — np.float32 (default, parity) or ml_dtypes.bfloat16
+    for the relaxed-precision fast mode, the analog of the reference's
+    packed-fp16 FsrEasuH (ffx_fsr1.h:445-594). In bf16 mode the ffx_a.h
+    rcp/rsqrt bit approximations still evaluate in f32 (cast in/out); the
+    fp16 magic constants have no bf16 equivalent.
     Returns the dering-clamped (C, h, w) RGB."""
+    if dt is not F32:
+        taps = {k: v.astype(dt) for k, v in taps.items()}
+        ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
+
+        def _via_f32(fn):
+            return lambda a: fn(a.astype(jnp.float32)).astype(dt)
+        _rcp_lo = _via_f32(aprx_lo_rcp)
+        _rsq_lo = _via_f32(aprx_lo_rsq)
+        _rcp_ex = _via_f32(rcp)
+
+        def _lt(a, c):  # bf16 compares are unsupported on the VPU
+            return a.astype(jnp.float32) < F32(c)
+    else:
+        _rcp_lo, _rsq_lo, _rcp_ex = aprx_lo_rcp, aprx_lo_rsq, rcp
+
+        def _lt(a, c):
+            return a < F32(c)
 
     def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)  (ffx_fsr1.h:363-366)
-        return c[2] * F32(0.5) + (c[0] * F32(0.5) + c[1])
+        return c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
 
     L = {off: luma(taps[off]) for off in taps}
     bL, cL = L[(0, -1)], L[(1, -1)]
@@ -38,7 +61,7 @@ def easu_core(taps, ppx, ppy):
     iL, jL, kL, lL = L[(-1, 1)], L[(0, 1)], L[(1, 1)], L[(2, 1)]
     nL, oL = L[(0, 2)], L[(1, 2)]
 
-    one = F32(1.0)
+    one = dt(1.0)
 
     def easu_set(acc, which, lA, lB, lC, lD, lE):
         dir_x, dir_y, length = acc
@@ -52,21 +75,21 @@ def easu_core(taps, ppx, ppy):
             w = ppx * ppy
         dc = lD - lC
         cb = lC - lB
-        lenX = aprx_lo_rcp(jnp.maximum(jnp.abs(dc), jnp.abs(cb)))
+        lenX = _rcp_lo(jnp.maximum(jnp.abs(dc), jnp.abs(cb)))
         dirX = lD - lB
         dir_x = dir_x + dirX * w
         lenX = sat(jnp.abs(dirX) * lenX)
         length = length + (lenX * lenX) * w
         ec = lE - lC
         ca = lC - lA
-        lenY = aprx_lo_rcp(jnp.maximum(jnp.abs(ec), jnp.abs(ca)))
+        lenY = _rcp_lo(jnp.maximum(jnp.abs(ec), jnp.abs(ca)))
         dirY = lE - lA
         dir_y = dir_y + dirY * w
         lenY = sat(jnp.abs(dirY) * lenY)
         length = length + (lenY * lenY) * w
         return dir_x, dir_y, length
 
-    z = jnp.zeros(jnp.broadcast_shapes(fL.shape, (ppx * ppy).shape), jnp.float32)
+    z = jnp.zeros(jnp.broadcast_shapes(fL.shape, (ppx * ppy).shape), dt)
     acc = (z, z, z)
     acc = easu_set(acc, "s", bL, eL, fL, gL, jL)
     acc = easu_set(acc, "t", cL, fL, gL, hL, kL)
@@ -75,46 +98,46 @@ def easu_core(taps, ppx, ppy):
     dir_x, dir_y, length = acc
 
     dirR = dir_x * dir_x + dir_y * dir_y
-    zro = dirR < F32(1.0 / 32768.0)
-    dirR = aprx_lo_rsq(dirR)
+    zro = _lt(dirR, 1.0 / 32768.0)
+    dirR = _rsq_lo(dirR)
     dirR = jnp.where(zro, one, dirR)
     dir_x = jnp.where(zro, one, dir_x)
     dir_x = dir_x * dirR
     dir_y = dir_y * dirR
 
-    length = length * F32(0.5)
+    length = length * dt(0.5)
     length = length * length
-    stretch = (dir_x * dir_x + dir_y * dir_y) * aprx_lo_rcp(
+    stretch = (dir_x * dir_x + dir_y * dir_y) * _rcp_lo(
         jnp.maximum(jnp.abs(dir_x), jnp.abs(dir_y)))
     len2_x = one + (stretch - one) * length
-    len2_y = one + F32(-0.5) * length
-    lob = F32(0.5) + F32((1.0 / 4.0 - 0.04) - 0.5) * length
-    clp = aprx_lo_rcp(lob)
+    len2_y = one + dt(-0.5) * length
+    lob = dt(0.5) + dt((1.0 / 4.0 - 0.04) - 0.5) * length
+    clp = _rcp_lo(lob)
 
     cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
     min4 = jnp.minimum(min3(cf, ck, cj), cg)
     max4 = jnp.maximum(max3(cf, ck, cj), cg)
 
-    aC = jnp.zeros(taps[(0, 0)].shape[:-2] + z.shape, jnp.float32)
+    aC = jnp.zeros(taps[(0, 0)].shape[:-2] + z.shape, dt)
     aW = z
     for dx, dy in _TAP_ORDER:
-        off_x = F32(float(dx)) - ppx
-        off_y = F32(float(dy)) - ppy
+        off_x = dt(float(dx)) - ppx
+        off_y = dt(float(dy)) - ppy
         vx = off_x * dir_x + off_y * dir_y
         vy = off_x * (-dir_y) + off_y * dir_x
         vx = vx * len2_x
         vy = vy * len2_y
         d2 = jnp.minimum(vx * vx + vy * vy, clp)
-        wB = F32(2.0 / 5.0) * d2 + F32(-1.0)
-        wA = lob * d2 + F32(-1.0)
+        wB = dt(2.0 / 5.0) * d2 + dt(-1.0)
+        wA = lob * d2 + dt(-1.0)
         wB = wB * wB
         wA = wA * wA
-        wB = F32(25.0 / 16.0) * wB + F32(-(25.0 / 16.0 - 1.0))
+        wB = dt(25.0 / 16.0) * wB + dt(-(25.0 / 16.0 - 1.0))
         w = wB * wA
         aC = aC + taps[(dx, dy)] * w[None]
         aW = aW + w
 
-    return jnp.minimum(max4, jnp.maximum(min4, aC * rcp(aW)[None]))
+    return jnp.minimum(max4, jnp.maximum(min4, aC * _rcp_ex(aW)[None]))
 
 
 def easu_index_maps(in_w, in_h, out_w, out_h, con0):

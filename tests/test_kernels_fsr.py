@@ -104,6 +104,18 @@ class TestFusedFsrKernel:
                              debug=True)
         _assert_close(got, ref)
 
+    def test_half_precision_mode(self):
+        """precision='half' = bf16 math (FsrEasuH/FsrRcasHx2 analog,
+        ffx_fsr1.h:445-594): relaxed precision, bounded deviation."""
+        frames = np.stack([FR.zone_plate_frame(96, 130),
+                           FR.noise_frame(96, 130, seed=3)])
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
+        ref = Pipeline(cfg, backend="xla").process(frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=_backend(), precision="half").process(
+            frames, eyes=(0, 1))
+        d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+        assert (d <= 2).mean() >= 0.95 and d.max() <= 32
+
     def test_10bit_r10g10b10a2(self):
         """10-bit texels exceed bf16 integer range -> f32 HIGHEST matmuls."""
         rng = np.random.default_rng(5)
