@@ -20,5 +20,7 @@ Layers (bottom up):
 from .version import __version__
 from .core.config import Config, load_config
 from .api.pipeline import Pipeline, upscale
+from .models import get_model, FsrModel, NisModel, CasModel
 
-__all__ = ["__version__", "Config", "load_config", "Pipeline", "upscale"]
+__all__ = ["__version__", "Config", "load_config", "Pipeline", "upscale",
+           "get_model", "FsrModel", "NisModel", "CasModel"]

@@ -10,7 +10,8 @@ import math
 
 import numpy as np
 
-__all__ = ["canted_angle", "projection_center", "default_centers"]
+__all__ = ["canted_angle", "projection_center", "default_centers",
+           "mip_lod_bias"]
 
 
 def canted_angle(forward_left, forward_right, eye):
@@ -40,3 +41,13 @@ def default_centers():
     for both eyes. Used when the caller has no HMD geometry."""
     c = projection_center(-1.0, 1.0, -1.0, 1.0, 0.0)
     return c, c
+
+
+def mip_lod_bias(in_w, out_w):
+    """The negative texture-LOD bias the reference injects into the game's
+    anisotropic samplers so textures mip-select for the *output* resolution
+    (VrHooks.cpp:94-136: MipLODBias += -log2(outW/inW), applied only to
+    samplers with bias == 0 and anisotropy > 1). On TPU there is no sampler
+    to patch — `applyMIPBias` is the caller's texture-sampling concern; this
+    returns the value a renderer should add to its own samplers."""
+    return float(np.float32(-math.log2(float(out_w) / float(in_w))))

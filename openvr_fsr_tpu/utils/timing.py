@@ -29,6 +29,10 @@ class GpuTimer:
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
+        # Some remote-TPU transports (axon) ack before device completion;
+        # a tiny host transfer is the only reliable fence.
+        import numpy as _np
+        _ = _np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
         self.summed += time.perf_counter() - t0
         self.count += 1
         if self.count >= self.window:

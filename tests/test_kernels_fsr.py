@@ -134,3 +134,25 @@ class TestFusedFsrKernel:
         ref = Pipeline(cfg, backend="xla").process(f)
         got = Pipeline(cfg, backend=_backend()).process(f)
         _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
+
+
+class TestDoubleWide:
+    def test_double_wide_fsr(self):
+        """One texture holding both eyes (textureContainsOnlyOneEye=false):
+        both centres in one constant buffer (PostProcessor.cpp:298-305)."""
+        frames = FR.zone_plate_frame(64, 160)[None]
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.4)
+        ref = Pipeline(cfg, backend="xla", single_eye_per_frame=False,
+                       eye_centers=((0.5, 0.5), (0.5, 0.5))).process(frames)
+        got = Pipeline(cfg, backend=_backend(), single_eye_per_frame=False,
+                       eye_centers=((0.5, 0.5), (0.5, 0.5))).process(frames)
+        _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
+
+
+class TestMipBias:
+    def test_mip_lod_bias_value(self):
+        from openvr_fsr_tpu.core.projection import mip_lod_bias
+
+        # -log2(out/in) (VrHooks.cpp:124-128): 0.75 scale -> ~-0.415
+        assert abs(mip_lod_bias(1683, 2244) + np.log2(2244 / 1683)) < 1e-6
+        assert mip_lod_bias(100, 100) == 0.0
