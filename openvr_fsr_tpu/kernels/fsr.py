@@ -195,8 +195,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 h0, h1 = max(0, k * CHUNK - 1), min(OWP - 1, k * CHUNK + CHUNK)
                 sub = st[:, h0:h1 + 1]
                 ins = (sub == 1)
-                cls[bi, i, k] = 2 if ins.all() else (1 if ins.any() else 0)
+                # state-2 (out-of-image) pixels are zeroed later regardless,
+                # so they don't block the all-inside fast class
+                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
+                                 else (1 if ins.any() else 0))
     cls_flat = cls.reshape(-1)
+    band_cls = np.where((cls == 0).all(-1), 0,
+                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
+    band_cls = band_cls.reshape(-1)
 
 
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
@@ -229,7 +235,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             (((1,), (0,)), ((), ())),
             precision=mm_prec, preferred_element_type=jnp.float32)
 
-    def kernel(oy_ref, cls_ref,
+    def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r,
                out_ref, inbuf, s_easu, s_bilx, sems):
         b = pl.program_id(0)
@@ -270,52 +276,70 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # All cheap MXU work and the gated heavy EASU math happen per 128-col
         # chunk; everything elementwise that can run band-wide runs after the
         # loop on (3, TH_E, OWP) arrays where VPU op overheads amortize.
-        for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
-            c0 = k * CHUNK
-            w0 = cw0[k]
-            tcls = cls_ref[step * NCHUNK + k]
-            ppx_c = ppx_r[k]
+        def _easu_chunk(k, c0, w0, ppx_c):
+            s_cols = {dx: sst_r[k, :, (dx + 1) * CHUNK:(dx + 2) * CHUNK]
+                      for dx in (-1, 0, 1, 2)}
+            taps = {}
+            for c in range(3):
+                g = _mm(r_easu, inp(c, w0))             # (4*TH_E, KC) f32
+                for dx in _DX_FULL:
+                    t = _mm(g, s_cols[dx])
+                    for kk, dy in enumerate(_DYS):
+                        if (dx, dy) in TAP_ORDER:
+                            taps.setdefault((dx, dy), []).append(
+                                t[kk * TH_E:(kk + 1) * TH_E])
+                gmid = g[TH_E:3 * TH_E]
+                for dx in _DX_MID:
+                    t = _mm(gmid, s_cols[dx])
+                    for kk, dy in enumerate((0, 1)):
+                        if (dx, dy) in TAP_ORDER:
+                            taps.setdefault((dx, dy), []).append(
+                                t[kk * TH_E:(kk + 1) * TH_E])
+            taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
+            s_easu[:, :, c0:c0 + CHUNK] = easu_core(
+                taps, ppx_c, ppy_t, dt=core_dt).astype(jnp.float32)
 
-            def _easu_chunk(k=k, c0=c0, w0=w0, ppx_c=ppx_c):
-                s_cols = {dx: sst_r[k, :, (dx + 1) * CHUNK:(dx + 2) * CHUNK]
-                          for dx in (-1, 0, 1, 2)}
-                taps = {}
-                for c in range(3):
-                    g = _mm(r_easu, inp(c, w0))             # (4*TH_E, KC) f32
-                    for dx in _DX_FULL:
-                        t = _mm(g, s_cols[dx])
-                        for kk, dy in enumerate(_DYS):
-                            if (dx, dy) in TAP_ORDER:
-                                taps.setdefault((dx, dy), []).append(
-                                    t[kk * TH_E:(kk + 1) * TH_E])
-                    gmid = g[TH_E:3 * TH_E]
-                    for dx in _DX_MID:
-                        t = _mm(gmid, s_cols[dx])
-                        for kk, dy in enumerate((0, 1)):
-                            if (dx, dy) in TAP_ORDER:
-                                taps.setdefault((dx, dy), []).append(
-                                    t[kk * TH_E:(kk + 1) * TH_E])
-                taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
-                s_easu[:, :, c0:c0 + CHUNK] = easu_core(
-                    taps, ppx_c, ppy_t, dt=core_dt).astype(jnp.float32)
+        def _bil_chunk(k, c0, w0):
+            sb0 = sst_r[k, :, 4 * CHUNK:5 * CHUNK]
+            sb1 = sst_r[k, :, 5 * CHUNK:]
+            fxc = fbx_r[k]                              # (1, CHUNK)
+            for c in range(3):
+                gb = _mm(r_bil, inp(c, w0))             # (2*TH_E, KC) f32
+                t0 = _mm(gb, sb0) * inv_cmax
+                t1 = _mm(gb, sb1) * inv_cmax
+                # x-lerp now (ops are small either way); y-lerp band-wide
+                s_bilx[c, :, c0:c0 + CHUNK] = t0 * (one - fxc) + t1 * fxc
 
-            def _bil_chunk(k=k, c0=c0, w0=w0):
-                sb0 = sst_r[k, :, 4 * CHUNK:5 * CHUNK]
-                sb1 = sst_r[k, :, 5 * CHUNK:]
-                fxc = fbx_r[k]                              # (1, CHUNK)
-                for c in range(3):
-                    gb = _mm(r_bil, inp(c, w0))             # (2*TH_E, KC) f32
-                    t0 = _mm(gb, sb0) * inv_cmax
-                    t1 = _mm(gb, sb1) * inv_cmax
-                    # x-lerp now (ops are small either way); y-lerp band-wide
-                    s_bilx[c, :, c0:c0 + CHUNK] = t0 * (one - fxc) + t1 * fxc
+        def _chunk_loop(mode):
+            # mode: "bil" (band fully outside the circle), "easu" (fully
+            # inside), "both" (mixed — per-chunk pl.when gating)
+            for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
+                c0 = k * CHUNK
+                w0 = cw0[k]
+                ppx_c = ppx_r[k]
+                if mode == "bil":
+                    _bil_chunk(k, c0, w0)
+                elif mode == "easu":
+                    _easu_chunk(k, c0, w0, ppx_c)
+                else:
+                    tcls = cls_ref[step * NCHUNK + k]
+                    pl.when(tcls > 0)(
+                        lambda k=k, c0=c0, w0=w0, p=ppx_c:
+                        _easu_chunk(k, c0, w0, p))
+                    pl.when(tcls < 2)(
+                        lambda k=k, c0=c0, w0=w0: _bil_chunk(k, c0, w0))
 
-            if _NO_GATING:
-                _easu_chunk()
-                _bil_chunk()
-            else:
-                pl.when(tcls > 0)(_easu_chunk)
-                pl.when(tcls < 2)(_bil_chunk)
+        if _NO_GATING:
+            _chunk_loop("easu")
+            _chunk_loop("bil")
+        else:
+            # Scalar-core branches cost ~1 us each; a band fully outside or
+            # fully inside the circle (the common case at small/huge radii)
+            # runs an unconditional loop variant behind ONE band-level branch
+            # instead of 2 branches per chunk.
+            bcls = bcls_ref[step]
+            pl.when(bcls == 0)(lambda: _chunk_loop("bil"))
+            pl.when(bcls != 0)(lambda: _chunk_loop("both"))
 
         # ---- band-wide epilogue: y-lerp, foveated select, UNORM, RCAS -------
         ms = mst_r[0, 0].astype(jnp.int32)                  # (TH_E, OWP)
@@ -345,7 +369,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         out_ref[0] = jnp.where(m_in, sh, fb)[:, :, :OW]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, GY),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
@@ -379,13 +403,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     colmaps = [a.reshape(NCHUNK, 1, CHUNK) for a in (ppx_p, fbx_p)]
     onehots = [jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype)]
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
-               jnp.asarray(mstate.astype(np.int8))] \
+               jnp.asarray(band_cls), jnp.asarray(mstate.astype(np.int8))] \
         + onehots + [jnp.asarray(a) for a in rowmaps + colmaps]
 
     def fn(img):
         img = img.astype(in_dtype)  # integer texels: exact in bf16 for 8-bit
         if HP != H or WP != W:      # pad to the HBM (sublane, lane) tiling
             img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], img, statics[2], *statics[3:])
+        return call(statics[0], statics[1], statics[2], img, *statics[3:])
 
     return fn

@@ -455,8 +455,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             st[:, OW:] = 2
             mstate[bi, i] = st
             for k in range(NCHUNK):
-                ins = st[:, k * CHUNK:(k + 1) * CHUNK] == 1
-                cls[bi, i, k] = 2 if ins.all() else (1 if ins.any() else 0)
+                sub = st[:, k * CHUNK:(k + 1) * CHUNK]
+                ins = sub == 1
+                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
+                                 else (1 if ins.any() else 0))
     cls_flat = cls.reshape(-1)
 
     def _mm(a, b):
