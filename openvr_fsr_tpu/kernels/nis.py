@@ -460,13 +460,16 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                 cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
                                  else (1 if ins.any() else 0))
     cls_flat = cls.reshape(-1)
+    band_cls = np.where((cls == 0).all(-1), 0,
+                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
+    band_cls = band_cls.reshape(-1)
 
     def _mm(a, b):
         return jax.lax.dot_general(
             a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
             precision=mm_prec, preferred_element_type=jnp.float32)
 
-    def kernel(oy_ref, cls_ref,
+    def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, boh45_r, boh135_r, aoh_r, circ_r,
                rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems):
         b = pl.program_id(0)
@@ -517,169 +520,182 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         one = F32(1.0)
         n255 = F32(255.0)
 
-        for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
-            c0 = k * CHUNK
-            w0 = cw0[k]
-            tcls = cls_ref[step * NCHUNK + k]
-            cp = colp_r[k]                       # (18, 1, CHUNK)
+        def _fb_chunk(k, c0, w0, ffx_c):
+            for c in range(3):
+                gb = _mm(r_fb, band[c, :, w0:w0 + KC])
+                t0 = _mm(gb, sst_r[k][:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
+                t1 = _mm(gb, sst_r[k][:, 9 * CHUNK:]) * inv_cmax
+                top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
+                bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
+                s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
 
-            @pl.when(tcls > 0)
-            def _(k=k, c0=c0, w0=w0, cp=cp):
-                fx, fx64 = cp[0], cp[1]
-                axi = cp[2].astype(jnp.int32)
-                cx = [cp[3 + j] for j in range(6)]
-                cux = [cp[9 + j] for j in range(6)]
-                lox = cp[15] > F32(0.5)
-                ofx_c = cp[16]
+        def _loop_mixed():
+            for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
+                c0 = k * CHUNK
+                w0 = cw0[k]
+                tcls = cls_ref[step * NCHUNK + k]
+                cp = colp_r[k]                       # (18, 1, CHUNK)
 
-                sall = sst_r[k]
-                # ---- 6x6 luma taps (3 exact bf16 splits) -------------------
-                g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
-                p01 = {}
-                for dxk, dx in enumerate(_NIS_DYS):
-                    scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
-                    t = [_mm(gs, scol) for gs in g]
-                    for dyk in range(6):
-                        sl = slice(dyk * TH, (dyk + 1) * TH)
-                        p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
-                p = {k2: v * n255 for k2, v in p01.items()}
+                @pl.when(tcls > 0)
+                def _(k=k, c0=c0, w0=w0, cp=cp):
+                    fx, fx64 = cp[0], cp[1]
+                    axi = cp[2].astype(jnp.int32)
+                    cx = [cp[3 + j] for j in range(6)]
+                    cux = [cp[9 + j] for j in range(6)]
+                    lox = cp[15] > F32(0.5)
+                    ofx_c = cp[16]
 
-                # ---- FilterNormal (NIS_Scaler.h:436-453) -------------------
-                pixel_n = None
-                for j in range(6):
-                    v_acc = p[0, j] * cy[0]
-                    for ii in range(1, 6):
-                        v_acc = v_acc + p[ii, j] * cy[ii]
-                    term = v_acc * cx[j]
-                    pixel_n = term if pixel_n is None else pixel_n + term
+                    sall = sst_r[k]
+                    # ---- 6x6 luma taps (3 exact bf16 splits) -------------------
+                    g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
+                    p01 = {}
+                    for dxk, dx in enumerate(_NIS_DYS):
+                        scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
+                        t = [_mm(gs, scol) for gs in g]
+                        for dyk in range(6):
+                            sl = slice(dyk * TH, (dyk + 1) * TH)
+                            p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
+                    p = {k2: v * n255 for k2, v in p01.items()}
 
-                # ---- f0 / f90 ----------------------------------------------
-                interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fx) for ii in range(6)]
-                f0 = eval_poly6_core(interp0, cy, cuy, loy, cfg)
-                interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fy) for ii in range(6)]
-                f90 = eval_poly6_core(interp90, cx, cux, lox, cfg)
+                    # ---- FilterNormal (NIS_Scaler.h:436-453) -------------------
+                    pixel_n = None
+                    for j in range(6):
+                        v_acc = p[0, j] * cy[0]
+                        for ii in range(1, 6):
+                            v_acc = v_acc + p[ii, j] * cy[ii]
+                        term = v_acc * cx[j]
+                        pixel_n = term if pixel_n is None else pixel_n + term
 
-                # ---- diagonal phases + circulant coefficient planes --------
-                cc45 = _mm(w45, aoh_r[k])        # (72*TH, CHUNK)
-                cc135 = _mm(w135, aoh_r[k])
+                    # ---- f0 / f90 ----------------------------------------------
+                    interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fx) for ii in range(6)]
+                    f0 = eval_poly6_core(interp0, cy, cuy, loy, cfg)
+                    interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fy) for ii in range(6)]
+                    f90 = eval_poly6_core(interp90, cx, cux, lox, cfg)
 
-                def coefs(cc, v, t):
-                    out = []
-                    for ii in range(6):
-                        j0 = (((v * 2 + t) * 6 + ii) * 3)
-                        out.append((cc[j0 * TH:(j0 + 1) * TH]
-                                    + cc[(j0 + 1) * TH:(j0 + 2) * TH])
-                                   + cc[(j0 + 2) * TH:(j0 + 3) * TH])
-                    return out
+                    # ---- diagonal phases + circulant coefficient planes --------
+                    cc45 = _mm(w45, aoh_r[k])        # (72*TH, CHUNK)
+                    cc135 = _mm(w135, aoh_r[k])
 
-                s45 = fx64 + fy64
-                s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
-                ph45 = s45.astype(jnp.int32)
-                base45 = axi + byi
-                base45 = jnp.where(base45 >= 64, base45 - 64, base45)
-                cr45 = (ph45 != base45)[None]
-                cs45 = [jnp.where(cr45[0], a, b) for a, b in
-                        zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
-                cu45 = [jnp.where(cr45[0], a, b) for a, b in
-                        zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
+                    def coefs(cc, v, t):
+                        out = []
+                        for ii in range(6):
+                            j0 = (((v * 2 + t) * 6 + ii) * 3)
+                            out.append((cc[j0 * TH:(j0 + 1) * TH]
+                                        + cc[(j0 + 1) * TH:(j0 + 2) * TH])
+                                       + cc[(j0 + 2) * TH:(j0 + 3) * TH])
+                        return out
 
-                s135 = F32(64.0) + (fx64 - fy64)
-                s135 = jnp.where(s135 >= F32(64.0), s135 - F32(64.0), s135)
-                ph135 = s135.astype(jnp.int32)
-                base135 = axi - byi + 63
-                base135 = jnp.where(base135 >= 64, base135 - 64, base135)
-                cs135 = [jnp.where((ph135 != base135), a, b) for a, b in
-                         zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
-                cu135 = [jnp.where((ph135 != base135), a, b) for a, b in
-                         zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
+                    s45 = fx64 + fy64
+                    s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
+                    ph45 = s45.astype(jnp.int32)
+                    base45 = axi + byi
+                    base45 = jnp.where(base45 >= 64, base45 - 64, base45)
+                    cr45 = (ph45 != base45)[None]
+                    cs45 = [jnp.where(cr45[0], a, b) for a, b in
+                            zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
+                    cu45 = [jnp.where(cr45[0], a, b) for a, b in
+                            zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
 
-                # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
-                b45v = F32(0.5) + F32(0.5) * (fx - fy)
-                t45 = [None] * 7
-                t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
-                t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
-                t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
-                hi45 = b45v >= F32(0.5)
-                b45p = jnp.where(hi45, b45v - F32(0.5), F32(0.5) - b45v)
-                t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
-                                   hlsl_lerp(p[1, 1], p[2, 0], b45p))
-                t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
-                                   hlsl_lerp(p[2, 2], p[3, 1], b45p))
-                t45[4] = jnp.where(hi45, hlsl_lerp(p[3, 3], p[2, 4], b45p),
-                                   hlsl_lerp(p[3, 3], p[4, 2], b45p))
-                t45[6] = jnp.where(hi45, hlsl_lerp(p[4, 4], p[3, 5], b45p),
-                                   hlsl_lerp(p[4, 4], p[5, 3], b45p))
-                wrap = (fx + fy) >= F32(1.0)
-                interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
-                            for ii in range(6)]
-                f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32, cfg)
+                    s135 = F32(64.0) + (fx64 - fy64)
+                    s135 = jnp.where(s135 >= F32(64.0), s135 - F32(64.0), s135)
+                    ph135 = s135.astype(jnp.int32)
+                    base135 = axi - byi + 63
+                    base135 = jnp.where(base135 >= 64, base135 - 64, base135)
+                    cs135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                             zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
+                    cu135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                             zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
 
-                b135v = F32(0.5) * (fx + fy)
-                t135 = [None] * 7
-                t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
-                t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
-                t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
-                hi135 = b135v >= F32(0.5)
-                b135p = jnp.where(hi135, b135v - F32(0.5), F32(0.5) - b135v)
-                t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
-                                    hlsl_lerp(p[4, 1], p[3, 0], b135p))
-                t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
-                                    hlsl_lerp(p[3, 2], p[2, 1], b135p))
-                t135[4] = jnp.where(hi135, hlsl_lerp(p[2, 3], p[3, 4], b135p),
-                                    hlsl_lerp(p[2, 3], p[1, 2], b135p))
-                t135[6] = jnp.where(hi135, hlsl_lerp(p[1, 4], p[2, 5], b135p),
-                                    hlsl_lerp(p[1, 4], p[0, 3], b135p))
-                wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
-                interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
-                             for ii in range(6)]
-                f135 = eval_poly6_core(interp135, cs135, cu135, ph135 <= 32, cfg)
+                    # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
+                    b45v = F32(0.5) + F32(0.5) * (fx - fy)
+                    t45 = [None] * 7
+                    t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
+                    t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
+                    t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
+                    hi45 = b45v >= F32(0.5)
+                    b45p = jnp.where(hi45, b45v - F32(0.5), F32(0.5) - b45v)
+                    t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
+                                       hlsl_lerp(p[1, 1], p[2, 0], b45p))
+                    t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
+                                       hlsl_lerp(p[2, 2], p[3, 1], b45p))
+                    t45[4] = jnp.where(hi45, hlsl_lerp(p[3, 3], p[2, 4], b45p),
+                                       hlsl_lerp(p[3, 3], p[4, 2], b45p))
+                    t45[6] = jnp.where(hi45, hlsl_lerp(p[4, 4], p[3, 5], b45p),
+                                       hlsl_lerp(p[4, 4], p[5, 3], b45p))
+                    wrap = (fx + fy) >= F32(1.0)
+                    interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
+                                for ii in range(6)]
+                    f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32, cfg)
 
-                # ---- edge map at the 4 corners, from the same luma taps ----
-                ws = []
-                for ci in (0, 1):
-                    for cj in (0, 1):
-                        p3 = {(rr, cc2): p01[2 + ci - 1 + rr, 2 + cj - 1 + cc2]
-                              for rr in range(3) for cc2 in range(3)}
-                        ws.append(_edge_weights_jax(*_edge_grads(p3), cfg))
-                wk = []
-                for k4 in range(4):
-                    h0 = hlsl_lerp(ws[0][k4], ws[1][k4], fx)
-                    h1 = hlsl_lerp(ws[2][k4], ws[3][k4], fx)
-                    wk.append(hlsl_lerp(h0, h1, fy) * n255)
+                    b135v = F32(0.5) * (fx + fy)
+                    t135 = [None] * 7
+                    t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
+                    t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
+                    t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
+                    hi135 = b135v >= F32(0.5)
+                    b135p = jnp.where(hi135, b135v - F32(0.5), F32(0.5) - b135v)
+                    t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
+                                        hlsl_lerp(p[4, 1], p[3, 0], b135p))
+                    t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
+                                        hlsl_lerp(p[3, 2], p[2, 1], b135p))
+                    t135[4] = jnp.where(hi135, hlsl_lerp(p[2, 3], p[3, 4], b135p),
+                                        hlsl_lerp(p[2, 3], p[1, 2], b135p))
+                    t135[6] = jnp.where(hi135, hlsl_lerp(p[1, 4], p[2, 5], b135p),
+                                        hlsl_lerp(p[1, 4], p[0, 3], b135p))
+                    wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
+                    interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
+                                 for ii in range(6)]
+                    f135 = eval_poly6_core(interp135, cs135, cu135, ph135 <= 32, cfg)
 
-                op_y = (f0 * wk[0] + f90 * wk[1] + f45 * wk[2] + f135 * wk[3]
-                        + pixel_n * (n255 - wk[0] - wk[1] - wk[2] - wk[3])
-                        ) * F32(1.0 / 255.0)
+                    # ---- edge map at the 4 corners, from the same luma taps ----
+                    ws = []
+                    for ci in (0, 1):
+                        for cj in (0, 1):
+                            p3 = {(rr, cc2): p01[2 + ci - 1 + rr, 2 + cj - 1 + cc2]
+                                  for rr in range(3) for cc2 in range(3)}
+                            ws.append(_edge_weights_jax(*_edge_grads(p3), cfg))
+                    wk = []
+                    for k4 in range(4):
+                        h0 = hlsl_lerp(ws[0][k4], ws[1][k4], fx)
+                        h1 = hlsl_lerp(ws[2][k4], ws[3][k4], fx)
+                        wk.append(hlsl_lerp(h0, h1, fy) * n255)
 
-                # ---- NVScaler bilinear RGBA tap + luma correction ----------
-                op = []
-                for c in range(4):
-                    gb = _mm(r_op, band[c, :, w0:w0 + KC])
-                    t0 = _mm(gb, sall[:, 6 * CHUNK:7 * CHUNK]) * inv_cmax
-                    t1 = _mm(gb, sall[:, 7 * CHUNK:8 * CHUNK]) * inv_cmax
-                    # bilinear_sample_jax form: c00*(1-fx) + c10*fx
-                    top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
-                    bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
-                    op.append(top * (one - ofy_t) + bot * ofy_t)
-                corr = op_y * F32(1.0 / 255.0) - (
-                    F32(0.2126) * op[0] + F32(0.7152) * op[1]
-                    + F32(0.0722) * op[2])
-                s_nis[0, :, c0:c0 + CHUNK] = op[0] + corr
-                s_nis[1, :, c0:c0 + CHUNK] = op[1] + corr
-                s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
-                s_nis[3, :, c0:c0 + CHUNK] = op[3]
+                    op_y = (f0 * wk[0] + f90 * wk[1] + f45 * wk[2] + f135 * wk[3]
+                            + pixel_n * (n255 - wk[0] - wk[1] - wk[2] - wk[3])
+                            ) * F32(1.0 / 255.0)
 
-            @pl.when(tcls < 2)
-            def _(k=k, c0=c0, w0=w0, cp=cp):
-                ffx_c = cp[17]
-                for c in range(3):
-                    gb = _mm(r_fb, band[c, :, w0:w0 + KC])
-                    t0 = _mm(gb, sst_r[k][:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
-                    t1 = _mm(gb, sst_r[k][:, 9 * CHUNK:]) * inv_cmax
-                    top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
-                    bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
-                    s_fb[c, :, c0:c0 + CHUNK] = (top * (one - ffy_t)
-                                                 + bot * ffy_t)
+                    # ---- NVScaler bilinear RGBA tap + luma correction ----------
+                    op = []
+                    for c in range(4):
+                        gb = _mm(r_op, band[c, :, w0:w0 + KC])
+                        t0 = _mm(gb, sall[:, 6 * CHUNK:7 * CHUNK]) * inv_cmax
+                        t1 = _mm(gb, sall[:, 7 * CHUNK:8 * CHUNK]) * inv_cmax
+                        # bilinear_sample_jax form: c00*(1-fx) + c10*fx
+                        top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
+                        bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
+                        op.append(top * (one - ofy_t) + bot * ofy_t)
+                    corr = op_y * F32(1.0 / 255.0) - (
+                        F32(0.2126) * op[0] + F32(0.7152) * op[1]
+                        + F32(0.0722) * op[2])
+                    s_nis[0, :, c0:c0 + CHUNK] = op[0] + corr
+                    s_nis[1, :, c0:c0 + CHUNK] = op[1] + corr
+                    s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
+                    s_nis[3, :, c0:c0 + CHUNK] = op[3]
+
+                pl.when(tcls < 2)(
+                    lambda k=k, c0=c0, w0=w0, cp=cp:
+                    _fb_chunk(k, c0, w0, cp[17]))
+
+
+        def _loop_fb():
+            for k in range(NCHUNK):
+                _fb_chunk(k, k * CHUNK, cw0[k], colp_r[k][17])
+
+        # band-level fast path (see kernels/fsr.py): fully-outside bands run
+        # an unconditional fallback loop behind one branch
+        bcls = bcls_ref[step]
+        pl.when(bcls == 0)(_loop_fb)
+        pl.when(bcls != 0)(_loop_mixed)
 
         # ---- band-wide select ------------------------------------------------
         ms = mst_r[0, 0].astype(jnp.int32)
@@ -693,7 +709,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, GY),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -726,7 +742,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     )
 
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
-               jnp.asarray(mstate),
+               jnp.asarray(band_cls), jnp.asarray(mstate),
                jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype),
                jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype),
                jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype),
@@ -736,6 +752,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         img = img.astype(in_dtype)
         if HP != H or WP != W:
             img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], img, *statics[2:])
+        return call(statics[0], statics[1], statics[2], img,
+                    *statics[3:])
 
     return fn
