@@ -147,8 +147,11 @@ class FrameRing:
             raise RuntimeError("ring closed or frame too large")
         return bool(rc)
 
-    def pop(self, shape, dtype=np.uint8, blocking=True):
-        out = np.empty(shape, dtype)
+    def pop(self, shape, dtype=np.uint8, blocking=True, out=None):
+        """Pop into `out` (reused buffer avoids 25MB-scale page faults per
+        frame in streaming loops) or a fresh array."""
+        if out is None:
+            out = np.empty(shape, dtype)
         n = self._L.ovrfsr_ring_pop(
             self._ring, out.ctypes.data_as(ctypes.c_char_p),
             1 if blocking else 0)
