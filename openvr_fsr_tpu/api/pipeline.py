@@ -161,13 +161,24 @@ class Pipeline:
             precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
-        def run(frames):
-            x = frames if frames.ndim == 4 else frames[None]
-            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))[:, :3]
-            rgb = fused(ints.astype(jnp.float32))
-            alpha = jnp.ones((b, 1, out_h, out_w), jnp.float32)
-            return from_planar(jnp.concatenate([rgb, alpha], axis=1),
-                               color_bits, alpha_bits)
+        if color_bits == 8:
+            # packed-u32 IO: RGBA8 frames bitcast to one u32 plane (free), the
+            # kernel unpacks/packs channels with integer shifts — no
+            # NHWC<->planar transpose anywhere
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.asarray(x), jnp.uint32)
+                out = fused(packed)
+                return jax.lax.bitcast_convert_type(out, jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))[:, :3]
+                rgb = fused(ints.astype(jnp.float32))
+                alpha = jnp.ones((b, 1, out_h, out_w), jnp.float32)
+                return from_planar(jnp.concatenate([rgb, alpha], axis=1),
+                                   color_bits, alpha_bits)
 
         return jax.jit(run)
 

@@ -110,9 +110,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         elementwise math — the analog of the reference's packed-fp16
         FsrEasuH/FsrRcasHx2 fast path (ffx_fsr1.h:445-594, 874+).
 
-    Returns fn(img) -> rgb where img is (B, 3, in_h, in_w) float32 holding
-    *integer* texel values (0..2^bits-1) and rgb is (B, 3, out_h, out_w)
-    float32 in [0, 1].
+    Returns fn(img):
+      8-bit: img is (B, in_h, in_w) uint32 (bitcast RGBA8 — zero-copy from
+        NHWC), result is (B, out_h, out_w) uint32 packed RGBA8 with alpha
+        255. Channel unpack/pack happens in-kernel with integer shifts, so
+        the pipeline needs no NHWC<->planar transpose at all.
+      10-bit: img is (B, 3, in_h, in_w) float32 integer texels, result
+        (B, 3, out_h, out_w) float32 in [0, 1] (the original planar path).
     """
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
@@ -132,8 +136,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
     tint = (F32(0.7), F32(0.7)) if debug else None  # g,b multipliers
 
-    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    row_align = 16 if exact_bf16 else 8  # HBM tiling: (16,128) bf16, (8,128) f32
+    packed_io = exact_bf16              # u32-packed RGBA8 IO fast path
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
+    row_align = 8                        # (8,128) tiling for u32 and f32
     HP = _round_up(H, row_align)         # row-sliced DMA: rows align to sublane
     WP = _round_up(W, 128)               # ...and the full copy width to lanes
 
@@ -243,9 +248,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         step = b * GY + i
 
         def dma(slot, bb, ii):
-            return pltpu.make_async_copy(
-                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
-                inbuf.at[slot], sems.at[slot])
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
         def _():
@@ -258,10 +267,26 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         slot = jax.lax.rem(step, 2)
         dma(slot, b, i).wait()
 
-        band = inbuf[slot]  # (3, IH, W) integer texels
+        if packed_io:
+            # unpack RGBA8-in-u32 once per band (little-endian: R low byte)
+            raw = inbuf[slot].astype(jnp.int32)     # (IH, WP)
+            chans = [
+                jnp.bitwise_and(raw, 255).astype(jnp.bfloat16),
+                jnp.bitwise_and(
+                    jax.lax.shift_right_logical(raw, 8), 255
+                ).astype(jnp.bfloat16),
+                jnp.bitwise_and(
+                    jax.lax.shift_right_logical(raw, 16), 255
+                ).astype(jnp.bfloat16),
+            ]
 
-        def inp(c, w0):  # (IH, KC) integer-texel window of channel c
-            return band[c, :, w0:w0 + KC]
+            def inp(c, w0):  # (IH, KC) integer-texel window of channel c
+                return chans[c][:, w0:w0 + KC]
+        else:
+            band = inbuf[slot]  # (3, IH, WP) integer texels
+
+            def inp(c, w0):
+                return band[c, :, w0:w0 + KC]
 
         ppy_t = ppy_r[0]          # (TH_E, 1) f32
         r_easu = rst_r[0, :4 * TH_E]   # (4*TH_E, IH) one-hot row gather
@@ -366,7 +391,17 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
         else:
             fb = e
-        out_ref[0] = jnp.where(m_in, sh, fb)[:, :, :OW]
+        res = jnp.where(m_in, sh, fb)
+        if packed_io:
+            # final UNORM store (from_planar semantics: clip, *255, RNE)
+            q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jnp.int32(-16777216))          # alpha 255 << 24
+            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+        else:
+            out_ref[0] = res[:, :, :OW]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -381,9 +416,12 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 3, TH, OW), lambda b, i, *_: (b, 0, i, 0)),
+        out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 3, TH, OW), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, IH, WP), in_dtype),
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 3, IH, WP), jnp.float32)),
             pltpu.VMEM((3, TH_E, OWP), jnp.float32),      # EASU band
             pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32),  # bilinear x-lerped
             pltpu.SemaphoreType.DMA((2,)),
@@ -393,7 +431,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 3, OH, OW), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, OH, OW), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 3, OH, OW), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -407,9 +447,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         + onehots + [jnp.asarray(a) for a in rowmaps + colmaps]
 
     def fn(img):
-        img = img.astype(in_dtype)  # integer texels: exact in bf16 for 8-bit
-        if HP != H or WP != W:      # pad to the HBM (sublane, lane) tiling
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        if packed_io:
+            if HP != H or WP != W:  # pad to the HBM (sublane, lane) tiling
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
+        else:
+            img = img.astype(jnp.float32)
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
         return call(statics[0], statics[1], statics[2], img, *statics[3:])
 
     return fn
