@@ -194,11 +194,18 @@ class Pipeline:
             interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
-        def run(frames):
-            x = frames if frames.ndim == 4 else frames[None]
-            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
-            return from_planar(sharpen(ints.astype(jnp.float32)),
-                               color_bits, alpha_bits)
+        if color_bits == 8:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.asarray(x), jnp.uint32)
+                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+                return from_planar(sharpen(ints.astype(jnp.float32)),
+                                   color_bits, alpha_bits)
 
         return jax.jit(run)
 
@@ -214,11 +221,18 @@ class Pipeline:
             interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
-        def run(frames):
-            x = frames if frames.ndim == 4 else frames[None]
-            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
-            return from_planar(sharpen(ints.astype(jnp.float32)),
-                               color_bits, alpha_bits)
+        if color_bits == 8:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.asarray(x), jnp.uint32)
+                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+                return from_planar(sharpen(ints.astype(jnp.float32)),
+                                   color_bits, alpha_bits)
 
         return jax.jit(run)
 
@@ -270,26 +284,55 @@ class Pipeline:
                 [fb_rgb, jnp.ones_like(fb_rgb[:1])], axis=0) * tint[:, None, None]
             return up, fb
 
-        def run(frames):
-            x = frames if frames.ndim == 4 else frames[None]
-            ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2)).astype(jnp.float32)
-            out = scaler(ints)
-            if len(rows_p) or len(cols_p):
-                inv = F32(1.0) / F32((1 << color_bits) - 1)
-                for bi in range(b):
-                    x4 = ints[bi] * inv
-                    m = masks[bi]
-                    ob = out[bi]
-                    if len(rows_p):
-                        up, fb = _strip(x4, rows_p, None)
-                        ms = jnp.asarray(m[rows_p][None])
-                        ob = ob.at[:, rows_p, :].set(jnp.where(ms, up, fb))
-                    if len(cols_p):
-                        up, fb = _strip(x4, None, cols_p)
-                        ms = jnp.asarray(m[:, cols_p][None])
-                        ob = ob.at[:, :, cols_p].set(jnp.where(ms, up, fb))
-                    out = out.at[bi].set(ob)
-            return from_planar(out, color_bits, alpha_bits)
+        cmax = F32((1 << color_bits) - 1)
+
+        def _pack_u32(x4):
+            q = jnp.round(jnp.clip(x4, 0.0, 1.0) * cmax).astype(jnp.uint32)
+            return (q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24))
+
+        def _patch(out_b, x4, m, packed):
+            if len(rows_p):
+                up, fb = _strip(x4, rows_p, None)
+                ms = jnp.asarray(m[rows_p][None])
+                v = jnp.where(ms, up, fb)
+                if packed:
+                    out_b = out_b.at[rows_p, :].set(_pack_u32(v))
+                else:
+                    out_b = out_b.at[:, rows_p, :].set(v)
+            if len(cols_p):
+                up, fb = _strip(x4, None, cols_p)
+                ms = jnp.asarray(m[:, cols_p][None])
+                v = jnp.where(ms, up, fb)
+                if packed:
+                    out_b = out_b.at[:, cols_p].set(_pack_u32(v))
+                else:
+                    out_b = out_b.at[:, :, cols_p].set(v)
+            return out_b
+
+        if color_bits == 8:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                xj = jnp.asarray(x)
+                out = scaler(jax.lax.bitcast_convert_type(xj, jnp.uint32))
+                if len(rows_p) or len(cols_p):
+                    inv = F32(1.0) / cmax
+                    dec = jnp.transpose(xj, (0, 3, 1, 2)).astype(jnp.float32)
+                    for bi in range(b):
+                        out = out.at[bi].set(_patch(
+                            out[bi], dec[bi] * inv, masks[bi], True))
+                return jax.lax.bitcast_convert_type(out, jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x),
+                                     (0, 3, 1, 2)).astype(jnp.float32)
+                out = scaler(ints)
+                if len(rows_p) or len(cols_p):
+                    inv = F32(1.0) / cmax
+                    for bi in range(b):
+                        out = out.at[bi].set(_patch(
+                            out[bi], ints[bi] * inv, masks[bi], False))
+                return from_planar(out, color_bits, alpha_bits)
 
         return jax.jit(run)
 

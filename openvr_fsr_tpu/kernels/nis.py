@@ -58,8 +58,10 @@ def _shift_clamp(plane, dy, dx, th, wp):
 
 def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                     debug=False, band_rows=256, interpret=False):
-    """Build the NVSharpen kernel. fn(img) -> rgba, img (B, 4, h, w) float32
-    integer texels, result (B, 4, h, w) f32 in [0, 1] (rgb sharpened)."""
+    """Build the NVSharpen kernel.
+
+    8-bit: fn(img) with img (B, h, w) uint32 (bitcast RGBA8) -> (B, h, w)
+    uint32 packed RGBA8 (no transposes). 10-bit: planar f32 in/out."""
     B, H, W = int(batch), int(h), int(w)
     TH = H if H <= int(band_rows) else int(band_rows)
     TH_E = TH + 4                     # +-2 luma support rows
@@ -72,10 +74,11 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
     tint = (F32(0.7), F32(0.7)) if debug else None
     cfg = nis_cfg
 
-    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_dtype = in_dtype
+    packed_io = exact_bf16
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
+    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 16 if exact_bf16 else 8
+    row_align = 8
     HP = _round_up(H, row_align)
     WP = _round_up(W, 128)
 
@@ -123,9 +126,13 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         step = b * GY + i
 
         def dma(slot, bb, ii):
-            return pltpu.make_async_copy(
-                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
-                inbuf.at[slot], sems.at[slot])
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
         def _():
@@ -137,7 +144,14 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
 
         slot = jax.lax.rem(step, 2)
         dma(slot, b, i).wait()
-        band = inbuf[slot]                       # (4, IH, WP) integer texels
+        if packed_io:
+            raw = inbuf[slot].astype(jnp.int32)  # (IH, WP)
+            band = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(raw, 8 * c), 255
+            ).astype(jnp.bfloat16) for c in range(4)]
+        else:
+            band4 = inbuf[slot]                  # (4, IH, WP) integer texels
+            band = [band4[c] for c in range(4)]
         rsel = rst_r[0]                          # (TH_E, IH)
 
         # row-select the +-2 band (one-hot matmul — integer texels, exact)
@@ -176,12 +190,22 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                             rgb_in[2] * tint[1]], 0)
         else:
             fb = rgb_in
-        rgb = jnp.where(m_in, sharp, fb)[:, :, :W]
+        rgb = jnp.where(m_in, sharp, fb)
         # pipeline semantics: sharpened pixels keep the source alpha, the
         # out-of-radius DirectCopy writes alpha 1 (api/pipeline.py nis_sh)
         alpha_src = dec[3][2:2 + TH][None]
-        alpha = jnp.where(m_in, alpha_src, F32(1.0))[:, :, :W]
-        out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
+        alpha = jnp.where(m_in, alpha_src, F32(1.0))
+        if packed_io:
+            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jax.lax.shift_left(qa, 24))
+            out_ref[0] = packed.astype(jnp.uint32)[:, :W]
+        else:
+            out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :W]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -191,9 +215,12 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
             pl.BlockSpec((1, 1, TH, WP), lambda b, i, *_: (b, i, 0, 0)),
             pl.BlockSpec((1, TH_E, IH), lambda b, i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0)),
+        out_specs=(pl.BlockSpec((1, TH, W), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, IH, WP), in_dtype),
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -201,7 +228,9 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -211,12 +240,18 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                jnp.asarray(rstack, mm_dtype)]
 
     def fn(img):
-        img = img.astype(in_dtype)
-        if WP != W:   # edge-replicate pad so column shifts clamp correctly
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, WP - W)),
-                          mode="edge")
-        if HP != H:
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
+        if packed_io:
+            if WP != W:   # edge-replicate so column shifts clamp correctly
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, WP - W)), mode="edge")
+            if HP != H:
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, 0)))
+        else:
+            img = img.astype(jnp.float32)
+            if WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, WP - W)),
+                              mode="edge")
+            if HP != H:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
         return call(statics[0], img, statics[1], statics[2])
 
     return fn
@@ -280,8 +315,10 @@ def _split3_np(x):
 def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                    centres, color_bits=8, debug=False, band_rows=128,
                    chunk=128, interpret=False):
-    """Build the NVScaler kernel. fn(img) -> rgba, img (B, 4, in_h, in_w)
-    float32 integer texels; result (B, 4, out_h, out_w) f32 in [0, 1]."""
+    """Build the NVScaler kernel.
+
+    8-bit: fn(img) with img (B, in_h, in_w) uint32 (bitcast RGBA8) ->
+    (B, out_h, out_w) uint32 packed RGBA8. 10-bit: planar f32 in/out."""
     from ..core.nis_tables import COEF_SCALE, COEF_USM
     from ..ops.nis import (eval_poly6_core, _edge_weights_jax, _edge_grads,
                            nis_source_maps)
@@ -303,10 +340,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     exact_bf16 = color_bits <= 8
     tint = (F32(0.7), F32(0.7)) if debug else None
 
-    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    packed_io = exact_bf16
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
     mm_dtype = jnp.bfloat16  # one-hots and split planes are bf16-exact
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 16 if exact_bf16 else 8
+    row_align = 8
     HP = _round_up(H, row_align)
     WP = _round_up(W, 128)
 
@@ -477,9 +515,13 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         step = b * GY + i
 
         def dma(slot, bb, ii):
-            return pltpu.make_async_copy(
-                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
-                inbuf.at[slot], sems.at[slot])
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
         def _():
@@ -491,7 +533,14 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
         slot = jax.lax.rem(step, 2)
         dma(slot, b, i).wait()
-        band = inbuf[slot]                       # (4, IH, WP) integer texels
+        if packed_io:
+            raw = inbuf[slot].astype(jnp.int32)  # (IH, WP)
+            band = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(raw, 8 * c), 255
+            ).astype(jnp.bfloat16) for c in range(4)]
+        else:
+            band4 = inbuf[slot]                  # (4, IH, WP) integer texels
+            band = [band4[c] for c in range(4)]
 
         # exact 3-split luma plane of the band (getY, NIS_Scaler.h:167)
         y01b = (F32(0.2126) * (band[0].astype(jnp.float32) * inv_cmax)
@@ -522,7 +571,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
         def _fb_chunk(k, c0, w0, ffx_c):
             for c in range(3):
-                gb = _mm(r_fb, band[c, :, w0:w0 + KC])
+                gb = _mm(r_fb, band[c][:, w0:w0 + KC])
                 t0 = _mm(gb, sst_r[k][:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
                 t1 = _mm(gb, sst_r[k][:, 9 * CHUNK:]) * inv_cmax
                 top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
@@ -667,7 +716,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     # ---- NVScaler bilinear RGBA tap + luma correction ----------
                     op = []
                     for c in range(4):
-                        gb = _mm(r_op, band[c, :, w0:w0 + KC])
+                        gb = _mm(r_op, band[c][:, w0:w0 + KC])
                         t0 = _mm(gb, sall[:, 6 * CHUNK:7 * CHUNK]) * inv_cmax
                         t1 = _mm(gb, sall[:, 7 * CHUNK:8 * CHUNK]) * inv_cmax
                         # bilinear_sample_jax form: c00*(1-fx) + c10*fx
@@ -704,9 +753,19 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             fbv = jnp.stack([s_fb[0], s_fb[1] * tint[0], s_fb[2] * tint[1]], 0)
         else:
             fbv = s_fb[:]
-        rgb = jnp.where(m_in, s_nis[:3], fbv)[:, :, :OW]
-        alpha = jnp.where(m_in, s_nis[3:4], F32(1.0))[:, :, :OW]
-        out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
+        rgb = jnp.where(m_in, s_nis[:3], fbv)
+        alpha = jnp.where(m_in, s_nis[3:4], F32(1.0))
+        if packed_io:
+            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jax.lax.shift_left(qa, 24))
+            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+        else:
+            out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :OW]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -723,9 +782,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             pl.BlockSpec((1, 18, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((NCHUNK, 18, 1, CHUNK), lambda b, i, *_: (0, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, TH, OW), lambda b, i, *_: (b, 0, i, 0)),
+        out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 4, TH, OW), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, IH, WP), in_dtype),
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
             pltpu.VMEM((4, TH, OWP), jnp.float32),
             pltpu.VMEM((3, TH, OWP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -735,7 +797,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 4, OH, OW), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, OH, OW), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 4, OH, OW), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -749,9 +813,13 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                jnp.asarray(rowpack), jnp.asarray(colpack)]
 
     def fn(img):
-        img = img.astype(in_dtype)
-        if HP != H or WP != W:
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        if packed_io:
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
+        else:
+            img = img.astype(jnp.float32)
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
         return call(statics[0], statics[1], statics[2], img,
                     *statics[3:])
 

@@ -40,8 +40,10 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
                        debug=False, band_rows=256, interpret=False):
     """Build the sharpen-only kernel for a fixed shape/config.
 
-    Returns fn(img) -> rgba where img is (B, 4, h, w) float32 holding integer
-    texel values and rgba is (B, 4, h, w) float32 in [0, 1].
+    Returns fn(img):
+      8-bit: img (B, h, w) uint32 (bitcast RGBA8), result (B, h, w) uint32
+        packed RGBA8 — channel unpack/pack in-kernel, no transposes.
+      10-bit: img (B, 4, h, w) float32 integer texels, result f32 in [0,1].
     """
     B, H, W = int(batch), int(h), int(w)
     TH = H if H <= int(band_rows) else int(band_rows)
@@ -55,10 +57,11 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
     tint = (F32(0.7), F32(0.7)) if debug else None
 
-    in_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_dtype = in_dtype
+    packed_io = exact_bf16
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
+    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 16 if exact_bf16 else 8
+    row_align = 8
     HP = _round_up(H, row_align)
     WP = _round_up(W, 128)
 
@@ -104,9 +107,13 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         step = b * GY + i
 
         def dma(slot, bb, ii):
-            return pltpu.make_async_copy(
-                img.at[bb, :, pl.ds(pl.multiple_of(oy_ref[ii], row_align), IH)],
-                inbuf.at[slot], sems.at[slot])
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
 
         @pl.when(step == 0)
         def _():
@@ -118,8 +125,16 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
         slot = jax.lax.rem(step, 2)
         dma(slot, b, i).wait()
-        band = inbuf[slot]                       # (4, IH, WP) integer texels
         rsel = rst_r[0]                          # (TH_E, IH) one-hot rows
+
+        if packed_io:
+            raw = inbuf[slot].astype(jnp.int32)  # (IH, WP)
+            band = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(raw, 8 * c), 255
+            ).astype(jnp.bfloat16) for c in range(4)]
+        else:
+            band4 = inbuf[slot]                  # (4, IH, WP) integer texels
+            band = [band4[c] for c in range(4)]
 
         ms = mst_r[0, 0].astype(jnp.int32)       # (TH_E, WP)
         gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
@@ -137,12 +152,22 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
             fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
         else:
             fb = e
-        rgb = jnp.where(m_in, sh, fb)[:, :, :W]
+        rgb = jnp.where(m_in, sh, fb)
         # int+slice mixed indexing lowers to an unsupported gather in Mosaic:
         # keep it slices-only
         alpha_src = dec[3:4][:, 1:1 + TH]
-        alpha = jnp.where(m_in, F32(1.0), alpha_src)[:, :, :W]
-        out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)
+        alpha = jnp.where(m_in, F32(1.0), alpha_src)
+        if packed_io:
+            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jax.lax.shift_left(qa, 24))
+            out_ref[0] = packed.astype(jnp.uint32)[:, :W]
+        else:
+            out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :W]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -152,9 +177,12 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
             pl.BlockSpec((1, 1, TH_E, WP), lambda b, i, *_: (b, i, 0, 0)),
             pl.BlockSpec((1, TH_E, IH), lambda b, i, *_: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0)),
+        out_specs=(pl.BlockSpec((1, TH, W), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            pltpu.VMEM((2, 4, IH, WP), in_dtype),
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -162,7 +190,9 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -172,9 +202,13 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
                jnp.asarray(rstack, mm_dtype)]
 
     def fn(img):
-        img = img.astype(in_dtype)
-        if HP != H or WP != W:
-            img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        if packed_io:
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
+        else:
+            img = img.astype(jnp.float32)
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
         return call(statics[0], img, statics[1], statics[2])
 
     return fn
