@@ -542,21 +542,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             band4 = inbuf[slot]                  # (4, IH, WP) integer texels
             band = [band4[c] for c in range(4)]
 
-        # exact 3-split luma plane of the band (getY, NIS_Scaler.h:167)
-        y01b = (F32(0.2126) * (band[0].astype(jnp.float32) * inv_cmax)
-                + F32(0.7152) * (band[1].astype(jnp.float32) * inv_cmax)
-                + F32(0.0722) * (band[2].astype(jnp.float32) * inv_cmax))
-        ysp = _split3(y01b)
-
         r_taps = rst_r[0][:6 * TH]
         r_op = rst_r[0][6 * TH:8 * TH]
         r_fb = rst_r[0][8 * TH:]
-
-        # circulant stage 1 (per band): W[j] = Boh @ Circ_j — exact selections
-        w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
-                               for j in range(NCIRC)], axis=0)
-        w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
-                                for j in range(NCIRC)], axis=0)
 
         rp = rowp_r[0]                           # (18, TH, 1)
         fy, fy64 = rp[0], rp[1]
@@ -579,6 +567,17 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                 s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
 
         def _loop_mixed():
+            # scaler-only band prologue: the exact 3-split luma plane (getY,
+            # NIS_Scaler.h:167) and the circulant stage 1
+            # W[j] = Boh @ Circ_j — skipped entirely for fully-outside bands
+            y01b = (F32(0.2126) * (band[0].astype(jnp.float32) * inv_cmax)
+                    + F32(0.7152) * (band[1].astype(jnp.float32) * inv_cmax)
+                    + F32(0.0722) * (band[2].astype(jnp.float32) * inv_cmax))
+            ysp = _split3(y01b)
+            w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
+                                   for j in range(NCIRC)], axis=0)
+            w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
+                                    for j in range(NCIRC)], axis=0)
             for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
                 c0 = k * CHUNK
                 w0 = cw0[k]

@@ -144,15 +144,19 @@ def nis_source_maps(out_w, out_h, cfg):
             (src_x - px).astype(np.float32), (src_y - py).astype(np.float32))
 
 
-def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None):
+def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None,
+                 emap=None):
     """rgba: (4, H, W) f32 in [0,1]. Returns (4, out_h, out_w) f32.
 
     rows/cols: optional numpy index arrays selecting a sub-grid of output
-    pixels (used to patch the Pallas kernel's border rows exactly)."""
+    pixels (used to patch the Pallas kernel's border rows exactly).
+    emap: optional precomputed edge_map_plane_jax(y01) (shared across
+    sub-grid calls)."""
     _, h, w = rgba.shape
     y01 = get_y_jax(rgba)
     ys255 = y01 * NIS_SCALE_FLOAT
-    emap = edge_map_plane_jax(y01, cfg)
+    if emap is None:
+        emap = edge_map_plane_jax(y01, cfg)
 
     pxi, pyi, fx1d, fy1d = nis_source_maps(out_w, out_h, cfg)
     u_full = (np.arange(out_w, dtype=np.float32) + F32(0.5)) * cfg.kDstNormX
