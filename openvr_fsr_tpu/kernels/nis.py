@@ -110,11 +110,6 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
             st[:, W:] = 2
             mstate[bi, i] = st
 
-    # W-edge clamp note: the padded region [W, WP) must replicate column W-1
-    # for the column shifts; handled by overwriting pad columns at trace time
-    # is not possible in-kernel, so the shifts below treat WP-1 as the edge.
-    # To keep clamping exact we instead pad the *input* with edge values.
-
     def _mm(a, b):
         return jax.lax.dot_general(
             a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
