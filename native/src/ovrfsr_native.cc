@@ -203,6 +203,11 @@ int ovrfsr_dds_write(const char* path, int width, int height,
 }
 
 // Query pass: fills width/height/color_bits; returns payload byte count.
+// Only the formats this encoder writes are accepted: uncompressed 32bpp
+// DDPF_RGB with the RGBA8 or R10G10B10A2 masks (a fourcc/DX10/compressed or
+// non-32bpp header returns -1 rather than decoding garbage), and the
+// dimensions are sanity-bounded so a corrupt header cannot drive the
+// caller's allocation size.
 long ovrfsr_dds_query(const char* path, int* width, int* height,
                       int* color_bits) {
   FILE* f = fopen(path, "rb");
@@ -213,9 +218,19 @@ long ovrfsr_dds_query(const char* path, int* width, int* height,
     return -1;
   }
   fclose(f);
+  const uint32_t kFourCC = 0x4, kRGB = 0x40;  // DDPF_FOURCC, DDPF_RGB
+  if ((h.pf_flags & kFourCC) || h.pf_fourcc != 0) return -1;
+  if (!(h.pf_flags & kRGB) || h.pf_bits != 32) return -1;
+  bool rgba8 = h.mask_r == 0x000000FFu && h.mask_g == 0x0000FF00u &&
+               h.mask_b == 0x00FF0000u;
+  bool rgb10 = h.mask_r == 0x000003FFu && h.mask_g == 0x000FFC00u &&
+               h.mask_b == 0x3FF00000u;
+  if (!rgba8 && !rgb10) return -1;
+  if (h.width == 0 || h.height == 0 || h.width > 32768 || h.height > 32768)
+    return -1;
   *width = (int)h.width;
   *height = (int)h.height;
-  *color_bits = (h.mask_r == 0x000003FFu) ? 10 : 8;
+  *color_bits = rgb10 ? 10 : 8;
   return (long)h.width * h.height * 4;
 }
 
@@ -275,7 +290,9 @@ int ovrfsr_ring_push(void* ring, const uint8_t* data, long n, int blocking) {
   return 1;
 }
 
-long ovrfsr_ring_pop(void* ring, uint8_t* out, int blocking) {
+// cap: capacity of `out` in bytes. A queued frame larger than cap returns
+// -2 (and stays queued) instead of overflowing the caller's buffer.
+long ovrfsr_ring_pop(void* ring, uint8_t* out, long cap, int blocking) {
   FrameRing* r = (FrameRing*)ring;
   std::unique_lock<std::mutex> lk(r->mu);
   if (r->count == 0) {
@@ -284,6 +301,7 @@ long ovrfsr_ring_pop(void* ring, uint8_t* out, int blocking) {
     if (r->count == 0) return -1;
   }
   long n = r->sizes[r->tail];
+  if (n > cap) return -2;
   memcpy(out, &r->storage[r->tail * r->slot_bytes], n);
   r->tail = (r->tail + 1) % r->nslots;
   r->count--;

@@ -191,7 +191,7 @@ class Pipeline:
             b, h, w, sharpness=cfg.sharpness,
             centres=self._centres_array(w, h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
-            interpret=interpret)
+            precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
@@ -218,7 +218,7 @@ class Pipeline:
         sharpen = build_nvsharpen(
             b, h, w, nis_cfg=nis_cfg, centres=self._centres_array(w, h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
-            interpret=interpret)
+            precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
@@ -392,6 +392,13 @@ class Pipeline:
                 return self._build_nvsharpen(b, h, w, eyes, interpret)
             elif do_up:                # NIS upscale: NVScaler
                 return self._build_nvscaler(b, h, w, eyes, interpret)
+            # No kernel covers this stage plan. An explicitly requested
+            # Pallas backend must not silently run XLA.
+            if self.backend != "auto":
+                raise NotImplementedError(
+                    f"backend={self.backend!r} has no kernel for stage plan "
+                    f"(upscale={do_up}, sharpen={do_sh}, "
+                    f"use_nis={cfg.use_nis}); use backend='xla' or 'auto'")
         color_bits = self.color_bits
         alpha_bits = self.alpha_bits
         tint = _tint(cfg.debug_mode)
@@ -501,7 +508,10 @@ class Pipeline:
             self._cache[key] = fn
         inp = frames[None] if squeeze else frames
         if self.config.debug_mode:
-            out = self.timer.measure(fn, inp)
+            # per-stereo-pair time: a batch of B single-eye frames covers
+            # B/2 pairs (double-wide frames: one pair each)
+            pairs = b / 2.0 if self.single_eye_per_frame else float(b)
+            out = self.timer.measure(fn, inp, pairs=pairs)
         else:
             out = fn(inp)
         return out[0] if squeeze else out
@@ -509,12 +519,14 @@ class Pipeline:
 
 def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
             eye_centers=None, debug=False, eyes=None, color_bits=None,
-            single_eye_per_frame=True, backend="auto"):
+            single_eye_per_frame=True, backend="auto", precision="full"):
     """One-shot functional API.
 
     frame: (H, W, 4) or (B, H, W, 4) uint8 RGBA (uint16 for 10-bit).
     render_scale: <1 upscales by 1/rs; >1 supersamples by rs; 1/None = sharpen
-    only. Other args mirror openvr_mod.cfg keys. Returns processed frame(s).
+    only. precision: "full" (oracle parity) or "half" (the packed-fp16
+    analog). Other args mirror openvr_mod.cfg keys. Returns processed
+    frame(s).
     """
     cfg = Config(enabled=True, use_nis=use_nis,
                  render_scale=1.0 if render_scale is None else float(render_scale),
@@ -522,5 +534,6 @@ def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
                  debug_mode=bool(debug))
     pipe = Pipeline(cfg, eye_centers=eye_centers,
                     single_eye_per_frame=single_eye_per_frame,
-                    color_bits=color_bits, backend=backend)
+                    color_bits=color_bits, backend=backend,
+                    precision=precision)
     return pipe.process(frame, eyes=eyes)

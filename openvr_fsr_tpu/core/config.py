@@ -109,6 +109,15 @@ def _parse_fsr_object(text):
         fsr = {k: conv(v) for k, v in flat.items() if "." not in k}
         fsr["hotkeys"] = {k.split(".", 1)[1]: conv(v) for k, v in flat.items()
                           if k.startswith("hotkeys.")}
+        # jsoncpp rejects bare non-JSON tokens ("renderScale": abc) outright,
+        # making load_config fall back to defaults (Config.h:59-61). The
+        # native scanner passes them through as raw strings — and the cfg
+        # schema has no string-typed keys — so treat any surviving string as
+        # a parse error to preserve the silent-fallback contract.
+        if any(isinstance(v, str)
+               for v in [*fsr.values(), *fsr["hotkeys"].values()]
+               if not isinstance(v, dict)):
+            raise ValueError("malformed scalar in cfg")
         return fsr
     root = json.loads(strip_json_comments(text))
     return root.get("fsr", {})
@@ -125,9 +134,12 @@ def load_config(path=None, text=None):
         except OSError:
             return Config()
     try:
-        fsr = _parse_fsr_object(text)
-    except (json.JSONDecodeError, ValueError):
+        return _config_from_fsr(_parse_fsr_object(text))
+    except (json.JSONDecodeError, ValueError, TypeError):
         return Config()
+
+
+def _config_from_fsr(fsr):
     hk = fsr.get("hotkeys", {})
     sharpness = float(fsr.get("sharpness", 1.0))
     if sharpness < 0:

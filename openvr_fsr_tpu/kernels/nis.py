@@ -57,11 +57,18 @@ def _shift_clamp(plane, dy, dx, th, wp):
 
 
 def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
-                    debug=False, band_rows=256, interpret=False):
+                    debug=False, band_rows=256, precision="full",
+                    interpret=False):
     """Build the NVSharpen kernel.
+
+    precision: "full" = f32 oracle parity; "half" = bf16 USM/LTI math, the
+    NIS_USE_HALF_PRECISION analog (NIS_Scaler.h:141-148). Edge-map weights
+    stay f32 (they are pure comparisons, unsupported on the VPU in bf16).
 
     8-bit: fn(img) with img (B, h, w) uint32 (bitcast RGBA8) -> (B, h, w)
     uint32 packed RGBA8 (no transposes). 10-bit: planar f32 in/out."""
+    import ml_dtypes
+    dt = F32 if precision == "full" else ml_dtypes.bfloat16
     B, H, W = int(batch), int(h), int(w)
     TH = H if H <= int(band_rows) else int(band_rows)
     TH_E = TH + 4                     # +-2 luma support rows
@@ -155,26 +162,39 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         y01 = (F32(0.2126) * dec[0] + F32(0.7152) * dec[1]
                + F32(0.0722) * dec[2])                    # (TH_E, WP)
 
-        p = [[_shift_clamp(y01, iy - 2, jx - 2, TH, WP)
+        yk = y01 if dt is F32 else y01.astype(jnp.bfloat16)
+        p = [[_shift_clamp(yk, iy - 2, jx - 2, TH, WP)
               for jx in range(5)] for iy in range(5)]
 
-        scale_y = F32(1.0) - N.sat((p[2][2] - cfg.kSharpStartY) * cfg.kSharpScaleY)
-        strength = scale_y * cfg.kSharpStrengthScale + cfg.kSharpStrengthMin
-        limit = (scale_y * cfg.kSharpLimitScale + cfg.kSharpLimitMin) * p[2][2]
+        scale_y = dt(1.0) - N._sat_dt((p[2][2] - dt(cfg.kSharpStartY))
+                                      * dt(cfg.kSharpScaleY), dt)
+        strength = scale_y * dt(cfg.kSharpStrengthScale) + dt(cfg.kSharpStrengthMin)
+        limit = (scale_y * dt(cfg.kSharpLimitScale)
+                 + dt(cfg.kSharpLimitMin)) * p[2][2]
 
-        half = F32(0.5)
-        d0 = N._eval_usm_jax([p[iy][2] for iy in range(5)], strength, limit, cfg)
-        d90 = N._eval_usm_jax([p[2][iy] for iy in range(5)], strength, limit, cfg)
+        half = dt(0.5)
+        d0 = N._eval_usm_jax([p[iy][2] for iy in range(5)], strength, limit,
+                             cfg, dt)
+        d90 = N._eval_usm_jax([p[2][iy] for iy in range(5)], strength, limit,
+                              cfg, dt)
         d45 = N._eval_usm_jax(
             [p[1][1], N.hlsl_lerp(p[2][1], p[1][2], half), p[2][2],
-             N.hlsl_lerp(p[3][2], p[2][3], half), p[3][3]], strength, limit, cfg)
+             N.hlsl_lerp(p[3][2], p[2][3], half), p[3][3]], strength, limit,
+            cfg, dt)
         d135 = N._eval_usm_jax(
             [p[3][1], N.hlsl_lerp(p[3][2], p[2][1], half), p[2][2],
-             N.hlsl_lerp(p[2][3], p[1][2], half), p[1][3]], strength, limit, cfg)
+             N.hlsl_lerp(p[2][3], p[1][2], half), p[1][3]], strength, limit,
+            cfg, dt)
 
-        pc = {(iy, jx): p[iy + 1][jx + 1] for iy in range(3) for jx in range(3)}
+        # edge-map weights are comparison trees — evaluated in f32 always
+        # (bf16 compares are unsupported on the VPU; more accurate anyway)
+        pc = {(iy, jx): p[iy + 1][jx + 1].astype(jnp.float32)
+              for iy in range(3) for jx in range(3)}
         wgt = N._edge_weights_jax(*N._edge_grads(pc), cfg)
-        usm_y = d0 * wgt[0] + d90 * wgt[1] + d45 * wgt[2] + d135 * wgt[3]
+        usm_y = (d0.astype(jnp.float32) * wgt[0]
+                 + d90.astype(jnp.float32) * wgt[1]
+                 + d45.astype(jnp.float32) * wgt[2]
+                 + d135.astype(jnp.float32) * wgt[3])
 
         ms = mst_r[0, 0].astype(jnp.int32)               # (TH, WP)
         m_in = (ms == 1)[None]

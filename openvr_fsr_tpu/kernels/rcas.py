@@ -37,14 +37,20 @@ def _round_up(x, m):
 
 
 def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
-                       debug=False, band_rows=256, interpret=False):
+                       debug=False, band_rows=256, precision="full",
+                       interpret=False):
     """Build the sharpen-only kernel for a fixed shape/config.
+
+    precision: "full" = f32 oracle parity; "half" = bf16 elementwise RCAS
+    math, the packed-fp16 FsrRcasHx2 analog (ffx_fsr1.h:874-1177).
 
     Returns fn(img):
       8-bit: img (B, h, w) uint32 (bitcast RGBA8), result (B, h, w) uint32
         packed RGBA8 — channel unpack/pack in-kernel, no transposes.
       10-bit: img (B, 4, h, w) float32 integer texels, result f32 in [0,1].
     """
+    import ml_dtypes
+    core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
     B, H, W = int(batch), int(h), int(w)
     TH = H if H <= int(band_rows) else int(band_rows)
     TH_E = TH + 2
@@ -146,7 +152,8 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         e = qx[:, 1:1 + TH, 1:1 + WP]
         sh = rcas_core(
             qx[:, 0:TH, 1:1 + WP], qx[:, 1:1 + TH, 0:WP], e,
-            qx[:, 1:1 + TH, 2:2 + WP], qx[:, 2:2 + TH, 1:1 + WP], sharp_lin)
+            qx[:, 1:1 + TH, 2:2 + WP], qx[:, 2:2 + TH, 1:1 + WP], sharp_lin,
+            dt=core_dt).astype(jnp.float32)
         m_in = (ms[1:1 + TH] == 1)[None]
         if tint is not None:
             fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)

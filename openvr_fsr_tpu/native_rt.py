@@ -65,7 +65,7 @@ def lib():
                                    ctypes.c_long, ctypes.c_int]
     L.ovrfsr_ring_pop.restype = ctypes.c_long
     L.ovrfsr_ring_pop.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
-                                  ctypes.c_int]
+                                  ctypes.c_long, ctypes.c_int]
     L.ovrfsr_ring_close.argtypes = [ctypes.c_void_p]
     L.ovrfsr_ring_stats.argtypes = [ctypes.c_void_p] + \
         [ctypes.POINTER(ctypes.c_uint64)] * 4
@@ -154,7 +154,10 @@ class FrameRing:
             out = np.empty(shape, dtype)
         n = self._L.ovrfsr_ring_pop(
             self._ring, out.ctypes.data_as(ctypes.c_char_p),
-            1 if blocking else 0)
+            out.nbytes, 1 if blocking else 0)
+        if n == -2:
+            raise ValueError(
+                f"queued frame larger than pop buffer ({out.nbytes} bytes)")
         if n <= 0:
             return None
         return out

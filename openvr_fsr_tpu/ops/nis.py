@@ -87,7 +87,21 @@ def edge_map_plane_jax(y01, cfg):
     return _edge_weights_jax(*_edge_grads(p), cfg)
 
 
-def _calc_lti_jax(p6, lo_mask, cfg):
+def _sat_dt(a, dt):
+    """sat() that stays in dt (ops.common.sat's F32 scalars would silently
+    promote bf16 operands back to f32 in the half-precision mode)."""
+    return jnp.minimum(dt(1.0), jnp.maximum(dt(0.0), a))
+
+
+def _div_dt(num, den, dt):
+    """num / den. In bf16 mode the division evaluates in f32 (the VPU has no
+    bf16 divide; mirrors ops.easu.easu_core routing rcp through f32)."""
+    if dt is F32:
+        return num / den
+    return (num.astype(jnp.float32) / den.astype(jnp.float32)).astype(dt)
+
+
+def _calc_lti_jax(p6, lo_mask, cfg, dt=F32):
     """CalcLTI; lo_mask: static bool array (phase <= 32)."""
     y = [jnp.where(lo_mask, p6[i], p6[i + 1]) for i in range(5)]
     a_min = jnp.minimum(jnp.minimum(y[0], y[1]), y[2])
@@ -96,9 +110,11 @@ def _calc_lti_jax(p6, lo_mask, cfg):
     b_max = jnp.maximum(jnp.maximum(y[2], y[3]), y[4])
     a_cont = a_max - a_min
     b_cont = b_max - b_min
-    cont_ratio = jnp.maximum(a_cont, b_cont) / (jnp.minimum(a_cont, b_cont) + cfg.kEps)
-    return (F32(1.0) - sat((cont_ratio - cfg.kMinContrastRatio) * cfg.kRatioNorm)) \
-        * cfg.kContrastBoost
+    cont_ratio = _div_dt(jnp.maximum(a_cont, b_cont),
+                         jnp.minimum(a_cont, b_cont) + dt(cfg.kEps), dt)
+    return (dt(1.0) - _sat_dt((cont_ratio - dt(cfg.kMinContrastRatio))
+                              * dt(cfg.kRatioNorm), dt)) \
+        * dt(cfg.kContrastBoost)
 
 
 def _bake_coefs(table, phase_int):
@@ -106,23 +122,26 @@ def _bake_coefs(table, phase_int):
     return [np.asarray(table[:, i].take(phase_int), np.float32) for i in range(6)]
 
 
-def eval_poly6_core(pxl6, cs, cu, lo_mask, cfg):
+def eval_poly6_core(pxl6, cs, cu, lo_mask, cfg, dt=F32):
     """EvalPoly6 (NIS_Scaler.h:399-434) with explicit coefficient arrays —
     cs/cu: 6 scale/USM coefficient planes (static or traced), lo_mask:
     phase <= 32 (the CalcLTI tap-window select). Shared by the XLA op and
-    the Pallas NVScaler kernel."""
+    the Pallas NVScaler kernel. dt=bfloat16 is the NIS_USE_HALF_PRECISION
+    analog (NIS_Scaler.h:141-148): relaxed elementwise math, divisions via
+    f32."""
     y = cs[0] * pxl6[0]
     for i in range(1, 6):
         y = y + cs[i] * pxl6[i]
     y_usm = cu[0] * pxl6[0]
     for i in range(1, 6):
         y_usm = y_usm + cu[i] * pxl6[i]
-    y_scale = F32(1.0) - sat((y * F32(1.0 / 255) - cfg.kSharpStartY) * cfg.kSharpScaleY)
-    y_sharpness = y_scale * cfg.kSharpStrengthScale + cfg.kSharpStrengthMin
+    y_scale = dt(1.0) - _sat_dt((y * dt(1.0 / 255) - dt(cfg.kSharpStartY))
+                                * dt(cfg.kSharpScaleY), dt)
+    y_sharpness = y_scale * dt(cfg.kSharpStrengthScale) + dt(cfg.kSharpStrengthMin)
     y_usm = y_usm * y_sharpness
-    y_limit = (y_scale * cfg.kSharpLimitScale + cfg.kSharpLimitMin) * y
+    y_limit = (y_scale * dt(cfg.kSharpLimitScale) + dt(cfg.kSharpLimitMin)) * y
     y_usm = jnp.minimum(y_limit, jnp.maximum(-y_limit, y_usm))
-    y_usm = y_usm * _calc_lti_jax(pxl6, lo_mask, cfg)
+    y_usm = y_usm * _calc_lti_jax(pxl6, lo_mask, cfg, dt)
     return y + y_usm
 
 
@@ -246,24 +265,26 @@ def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None,
     return jnp.concatenate([op[:3] + corr[None], op[3:4]], axis=0)
 
 
-def _calc_lti_fast_jax(y5, cfg):
+def _calc_lti_fast_jax(y5, cfg, dt=F32):
     a_min = jnp.minimum(jnp.minimum(y5[0], y5[1]), y5[2])
     a_max = jnp.maximum(jnp.maximum(y5[0], y5[1]), y5[2])
     b_min = jnp.minimum(jnp.minimum(y5[2], y5[3]), y5[4])
     b_max = jnp.maximum(jnp.maximum(y5[2], y5[3]), y5[4])
     a_cont = a_max - a_min
     b_cont = b_max - b_min
-    cont_ratio = jnp.maximum(a_cont, b_cont) / (
-        jnp.minimum(a_cont, b_cont) + cfg.kEps * F32(1.0 / 255.0))
-    return (F32(1.0) - sat((cont_ratio - cfg.kMinContrastRatio) * cfg.kRatioNorm)) \
-        * cfg.kContrastBoost
+    cont_ratio = _div_dt(
+        jnp.maximum(a_cont, b_cont),
+        jnp.minimum(a_cont, b_cont) + dt(cfg.kEps * F32(1.0 / 255.0)), dt)
+    return (dt(1.0) - _sat_dt((cont_ratio - dt(cfg.kMinContrastRatio))
+                              * dt(cfg.kRatioNorm), dt)) \
+        * dt(cfg.kContrastBoost)
 
 
-def _eval_usm_jax(pxl5, strength, limit, cfg):
-    y_usm = F32(-0.6001) * pxl5[1] + F32(1.2002) * pxl5[2] - F32(0.6001) * pxl5[3]
+def _eval_usm_jax(pxl5, strength, limit, cfg, dt=F32):
+    y_usm = dt(-0.6001) * pxl5[1] + dt(1.2002) * pxl5[2] - dt(0.6001) * pxl5[3]
     y_usm = y_usm * strength
     y_usm = jnp.minimum(limit, jnp.maximum(-limit, y_usm))
-    return y_usm * _calc_lti_fast_jax(pxl5, cfg)
+    return y_usm * _calc_lti_fast_jax(pxl5, cfg, dt)
 
 
 def nvsharpen_jax(rgba, cfg: NisConfig):

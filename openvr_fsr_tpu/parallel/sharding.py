@@ -69,8 +69,12 @@ class ShardedPipeline:
                 f"(local batch {local_b}); got {eyes}")
 
         axis = self.mesh.axis_names[0]
+        # same key fields as Pipeline.process so mutating backend/precision/
+        # color_bits between sharded calls re-specializes instead of reusing
+        # the stale compiled fn
         key = ("shard", local_b, h, w, str(frames.dtype), pattern,
-               self.pipeline.config, n)
+               self.pipeline.config, self.pipeline.color_bits,
+               self.pipeline._resolve_backend(), self.pipeline.precision, n)
         fn = self.pipeline._cache.get(key)
         if fn is None:
             local_fn = self.pipeline._build(local_b, h, w, pattern)

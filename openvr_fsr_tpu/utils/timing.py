@@ -16,16 +16,22 @@ __all__ = ["GpuTimer", "bench_fn"]
 
 
 class GpuTimer:
-    """Rolling-average frame timer (500-sample window like the reference)."""
+    """Rolling-average frame timer (500-sample window like the reference).
+
+    Logs per-STEREO-PAIR milliseconds. The reference times one single-eye
+    dispatch and doubles it (PostProcessor.cpp:621-622); here one measured
+    call covers a whole batch, so the per-pair figure is t / pairs with
+    pairs supplied by the caller (B/2 for single-eye batches — a B=1
+    single-eye call has pairs=0.5, reproducing the reference's x2)."""
 
     def __init__(self, window=500, scale_for_stereo=False):
         self.window = window
-        self.scale_for_stereo = scale_for_stereo
+        self.scale_for_stereo = scale_for_stereo  # kept for back-compat
         self.summed = 0.0
         self.count = 0
         self.last_avg_ms = None
 
-    def measure(self, fn, *args):
+    def measure(self, fn, *args, pairs=None):
         t0 = time.perf_counter()
         out = fn(*args)
         jax.block_until_ready(out)
@@ -33,12 +39,12 @@ class GpuTimer:
         # a tiny host transfer is the only reliable fence.
         import numpy as _np
         _ = _np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        self.summed += time.perf_counter() - t0
+        if pairs is None:
+            pairs = 0.5 if self.scale_for_stereo else 1.0
+        self.summed += (time.perf_counter() - t0) / pairs
         self.count += 1
         if self.count >= self.window:
             avg_ms = 1000.0 / self.count * self.summed
-            if self.scale_for_stereo:
-                avg_ms *= 2  # per-eye frames: x2 like PostProcessor.cpp:621-622
             self.last_avg_ms = avg_ms
             get_logger().info(
                 "Average GPU processing time for upscale: %.4f ms", avg_ms)

@@ -156,3 +156,34 @@ class TestMipBias:
         # -log2(out/in) (VrHooks.cpp:124-128): 0.75 scale -> ~-0.415
         assert abs(mip_lod_bias(1683, 2244) + np.log2(2244 / 1683)) < 1e-6
         assert mip_lod_bias(100, 100) == 0.0
+
+
+class TestHalfPrecisionAllPaths:
+    """precision='half' is wired through every kernel builder (the reference
+    ships packed-fp16 variants for RCAS, ffx_fsr1.h:874-1177, and NIS,
+    NIS_Scaler.h:141-148) — bounded deviation vs the full-precision path."""
+
+    def _frames(self):
+        return np.stack([FR.zone_plate_frame(96, 130),
+                         FR.noise_frame(96, 130, seed=3)])
+
+    def _run(self, rs, use_nis):
+        frames = self._frames()
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.9, radius=0.5,
+                     use_nis=use_nis)
+        ref = Pipeline(cfg, backend="xla").process(frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=_backend(), precision="half").process(
+            frames, eyes=(0, 1))
+        return np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+
+    def test_rcas_sharpen_only_half(self):
+        d = self._run(rs=1.0, use_nis=False)
+        assert (d <= 2).mean() >= 0.95 and d.max() <= 32
+
+    def test_nvsharpen_half(self):
+        # NIS edge weights are binary classifications of luma gradients, so
+        # bf16-rounded luma can flip a pixel's directional-USM blend
+        # entirely (the reference's min16float path has the same cliff) —
+        # bound the tail by quantile, not worst pixel.
+        d = self._run(rs=1.0, use_nis=True)
+        assert (d <= 2).mean() >= 0.95 and (d <= 32).mean() >= 0.999

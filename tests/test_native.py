@@ -98,3 +98,48 @@ class TestFrameRing:
             got.append(int(ring.pop((1024,))[0]))
         t.join()
         assert got == [i % 251 for i in range(n)]
+
+
+class TestAdvisorFixes:
+    def test_ring_pop_rejects_small_buffer(self):
+        """ovrfsr_ring_pop takes the out-buffer capacity: popping into a
+        buffer smaller than the queued frame raises instead of overflowing."""
+        ring = native_rt.FrameRing(256, nslots=2)
+        ring.push(np.arange(200, dtype=np.uint8))
+        with pytest.raises(ValueError):
+            ring.pop((16,))
+        # the frame stays queued and pops fine with an adequate buffer
+        out = ring.pop((200,))
+        assert out is not None and out[5] == 5
+        ring.close()
+
+    def test_dds_query_rejects_compressed(self, tmp_path):
+        """A DXT/fourcc or non-32bpp header must not decode as garbage."""
+        import struct
+        p = tmp_path / "c.dds"
+        hdr = bytearray(128)
+        struct.pack_into("<IIIII", hdr, 0, 0x20534444, 124, 0x1007, 8, 8)
+        struct.pack_into("<III", hdr, 76, 32, 0x4, 0x31545844)  # DDPF_FOURCC DXT1
+        p.write_bytes(bytes(hdr) + b"\x00" * 256)
+        with pytest.raises(IOError):
+            native_rt.dds_read_native(p)
+
+    def test_dds_query_bounds_dimensions(self, tmp_path):
+        import struct
+        p = tmp_path / "h.dds"
+        hdr = bytearray(128)
+        struct.pack_into("<IIIII", hdr, 0, 0x20534444, 124, 0x100F,
+                         0x40000000, 0x40000000)  # absurd width/height
+        struct.pack_into("<IIII", hdr, 76, 32, 0x41, 0, 32)
+        struct.pack_into("<IIII", hdr, 92, 0xFF, 0xFF00, 0xFF0000, 0xFF000000)
+        p.write_bytes(bytes(hdr))
+        with pytest.raises(IOError):
+            native_rt.dds_read_native(p)
+
+    def test_malformed_scalar_gives_defaults(self):
+        """jsoncpp rejects bare tokens; the native scanner path must fall
+        back to defaults the same way (Config.h:59-61) instead of crashing."""
+        cfg = load_config(text='{"fsr": {"renderScale": abc}}')
+        assert cfg.render_scale == 1.0 and not cfg.enabled
+        cfg = load_config(text='{"fsr": {"sharpness": null}}')
+        assert cfg.sharpness == 0.75  # struct default (whole parse rejected)

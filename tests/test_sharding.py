@@ -56,3 +56,19 @@ class TestShardedPipeline:
     def test_shard_batch_placement(self, mesh):
         x = shard_batch(np.zeros((8, 4, 4, 4), np.uint8), mesh)
         assert len(x.sharding.device_set) == 8
+
+    def test_cache_respecializes_on_mutation(self, mesh):
+        """Mutating backend/precision/color_bits between sharded calls must
+        not reuse the stale compiled fn (key parity with Pipeline.process)."""
+        cfg = Config(enabled=True, render_scale=0.75, radius=2.0)
+        pipe = Pipeline(cfg, backend="xla")
+        sp = ShardedPipeline(pipe, mesh)
+        frames = _frames(8)
+        sp.process(frames, eyes=(0,) * 8)
+        n0 = len(pipe._cache)
+        pipe.backend = "pallas-interpret"
+        sp.process(frames, eyes=(0,) * 8)
+        assert len(pipe._cache) == n0 + 1
+        pipe.precision = "half"
+        sp.process(frames, eyes=(0,) * 8)
+        assert len(pipe._cache) == n0 + 2
