@@ -239,140 +239,35 @@ class Pipeline:
     def _build_nvscaler(self, b, h, w, eyes, interpret):
         """NVScaler Pallas path (kernels/nis.py) for NIS upscaling.
 
-        The kernel's edge map is exact except at texture-border rows/columns
-        where the reference's clamp composition differs (clip(clip(p)+1) vs
-        clip(p+1)); those few strips are recomputed with the XLA reference
-        path and patched in, so the whole output is exact."""
+        The kernel is exact everywhere including texture borders: its edge
+        map carries dedicated one-hot blocks reproducing the reference's
+        shared-memory clamp composition (clip(clip(p)+-1),
+        NIS_Scaler.h:630-668), so no border patching is needed."""
         from ..kernels.nis import build_nvscaler
-        from ..ops.nis import (nvscaler_jax, nis_source_maps, get_y_jax,
-                               edge_map_plane_jax)
-        from ..ops.bilinear import bilinear_fallback_fsr_jax, bilinear_sample_jax
 
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
         nis_cfg = C.nvscaler_update_config(
             cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
-        centres = self._centres_array(out_w, out_h, eyes)
         scaler = build_nvscaler(
-            b, h, w, out_w, out_h, nis_cfg=nis_cfg, centres=centres,
+            b, h, w, out_w, out_h, nis_cfg=nis_cfg,
+            centres=self._centres_array(out_w, out_h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
-            interpret=interpret)
+            precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
-        tint = jnp.asarray(_tint(cfg.debug_mode))
-
-        # exact clamp-composition mismatch sets: clip(clip(p)+1) != clip(p+1)
-        # iff p == -1; clip(clip(p+1)-1) != clip(p) iff p >= H-1
-        pxi, pyi, _, _ = nis_source_maps(out_w, out_h, nis_cfg)
-        top = int((pyi <= -1).sum())
-        bot = int((pyi >= h - 1).sum())
-        left = int((pxi <= -1).sum())
-        right = int((pxi >= w - 1).sum())
-        rows_p = np.concatenate([np.arange(top),
-                                 np.arange(out_h - bot, out_h)]).astype(int)
-        cols_p = np.concatenate([np.arange(left),
-                                 np.arange(out_w - right, out_w)]).astype(int)
-        masks = [fov.pixel_mask(out_w, out_h, fov.TILE_NIS_SCALER,
-                                ((c[0], c[1]), (c[2], c[3])), int(c[4]))
-                 for c in centres]
-        u_fb = np.arange(out_w, dtype=np.float32) / F32(out_w)
-        v_fb = np.arange(out_h, dtype=np.float32) / F32(out_h)
-
-        def _strip(x4, rows, cols, emap=None):
-            """Exact XLA-path output (incl. foveated fallback) for a strip."""
-            up = nvscaler_jax(x4, out_w, out_h, nis_cfg, rows=rows, cols=cols,
-                              emap=emap)
-            fb_rgb = bilinear_sample_jax(
-                x4[:3], u_fb if cols is None else u_fb[cols],
-                v_fb if rows is None else v_fb[rows])
-            fb = jnp.concatenate(
-                [fb_rgb, jnp.ones_like(fb_rgb[:1])], axis=0) * tint[:, None, None]
-            return up, fb
-
-        cmax = F32((1 << color_bits) - 1)
-
-        def _pack_u32(x4):
-            q = jnp.round(jnp.clip(x4, 0.0, 1.0) * cmax).astype(jnp.uint32)
-            return (q[0] | (q[1] << 8) | (q[2] << 16) | (q[3] << 24))
-
-        def _patch(out_b, x4, m, packed):
-            # share one edge-map computation across the row/col strip calls
-            emap = edge_map_plane_jax(get_y_jax(x4), nis_cfg)
-            if len(rows_p):
-                up, fb = _strip(x4, rows_p, None, emap)
-                ms = jnp.asarray(m[rows_p][None])
-                v = jnp.where(ms, up, fb)
-                if packed:
-                    out_b = out_b.at[rows_p, :].set(_pack_u32(v))
-                else:
-                    out_b = out_b.at[:, rows_p, :].set(v)
-            if len(cols_p):
-                up, fb = _strip(x4, None, cols_p, emap)
-                ms = jnp.asarray(m[:, cols_p][None])
-                v = jnp.where(ms, up, fb)
-                if packed:
-                    out_b = out_b.at[:, cols_p].set(_pack_u32(v))
-                else:
-                    out_b = out_b.at[:, :, cols_p].set(v)
-            return out_b
 
         if color_bits == 8:
-            m_all = np.stack(masks)
-
-            def _strips_batched(packed_in):
-                """Strip values for the whole batch: channel decode via
-                shifts (stack on a new leading axis — no minor-dim
-                transpose), strips vmapped over eyes, one batched update
-                per axis."""
-                inv = F32(1.0) / cmax
-                raw = packed_in.astype(jnp.uint32)
-                x4 = jnp.stack(
-                    [((raw >> (8 * c)) & 255).astype(jnp.float32) * inv
-                     for c in range(4)], axis=1)        # (B, 4, H, W)
-                emap = jax.vmap(
-                    lambda x: jnp.stack(edge_map_plane_jax(get_y_jax(x),
-                                                           nis_cfg), 0))(x4)
-                outs = []
-                for axis_sel in (("rows", rows_p), ("cols", cols_p)):
-                    name, idx = axis_sel
-                    if not len(idx):
-                        outs.append(None)
-                        continue
-                    rows = idx if name == "rows" else None
-                    cols = idx if name == "cols" else None
-                    up, fb = jax.vmap(
-                        lambda x, em, rows=rows, cols=cols:
-                        _strip(x, rows, cols, [em[j] for j in range(4)]))(
-                        x4, emap)
-                    m = (m_all[:, idx] if name == "rows"
-                         else m_all[:, :, idx])[:, None]
-                    outs.append(jax.vmap(_pack_u32)(
-                        jnp.where(jnp.asarray(m), up, fb)))
-                return outs
-
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
                 packed = jax.lax.bitcast_convert_type(
                     jnp.asarray(x), jnp.uint32)
-                out = scaler(packed)
-                if len(rows_p) or len(cols_p):
-                    v_rows, v_cols = _strips_batched(packed)
-                    if v_rows is not None:
-                        out = out.at[:, rows_p, :].set(v_rows)
-                    if v_cols is not None:
-                        out = out.at[:, :, cols_p].set(v_cols)
-                return jax.lax.bitcast_convert_type(out, jnp.uint8)
+                return jax.lax.bitcast_convert_type(scaler(packed), jnp.uint8)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
                 ints = jnp.transpose(jnp.asarray(x),
                                      (0, 3, 1, 2)).astype(jnp.float32)
-                out = scaler(ints)
-                if len(rows_p) or len(cols_p):
-                    inv = F32(1.0) / cmax
-                    for bi in range(b):
-                        out = out.at[bi].set(_patch(
-                            out[bi], ints[bi] * inv, masks[bi], False))
-                return from_planar(out, color_bits, alpha_bits)
+                return from_planar(scaler(ints), color_bits, alpha_bits)
 
         return jax.jit(run)
 

@@ -329,8 +329,14 @@ def _split3_np(x):
 
 def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                    centres, color_bits=8, debug=False, band_rows=128,
-                   chunk=128, interpret=False):
+                   chunk=128, precision="full", interpret=False):
     """Build the NVScaler kernel.
+
+    precision: "full" = f32 oracle parity; "half" = the
+    NIS_USE_HALF_PRECISION analog (NIS_Scaler.h:141-148): the per-pixel
+    filter evaluation (FilterNormal, EvalPoly6/LTI, directional
+    interpolation trees) runs in bf16, while gathers, phases, the edge map
+    (comparison trees) and the final bilinear+correction stay f32.
 
     8-bit: fn(img) with img (B, in_h, in_w) uint32 (bitcast RGBA8) ->
     (B, out_h, out_w) uint32 packed RGBA8. 10-bit: planar f32 in/out."""
@@ -354,6 +360,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     inv_cmax = F32(1.0) / cmax
     exact_bf16 = color_bits <= 8
     tint = (F32(0.7), F32(0.7)) if debug else None
+    import ml_dtypes
+    dt = F32 if precision == "full" else ml_dtypes.bfloat16
+    cast = (lambda x: x) if dt is F32 else (lambda x: x.astype(jnp.bfloat16))
 
     packed_io = exact_bf16
     in_dtype = jnp.uint32 if packed_io else jnp.float32
@@ -417,23 +426,37 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     cw0 = [min(w0, W - KC) for w0 in cw0]
 
     # ---- one-hot gather stacks --------------------------------------------------
-    # rows: [dy=-2..3 (6 blocks), y0op, y1op, y0fb, y1fb] -> (GY, 10*TH, IH)
+    # rows: [dy=-2..3 (6 blocks), eA=clip(clip(p)+1), eB=clip(clip(p+1)-1),
+    #        y0op, y1op, y0fb, y1fb] -> (GY, 12*TH, IH)
+    #
+    # eA/eB are the edge-map clamp-composition blocks: the reference
+    # evaluates the edge map inside an edge-clamped shared-memory tile
+    # (NIS_Scaler.h:630-668), so the 3x3 neighborhood of corner pixel
+    # q = clip(p+ci) reads rows clip(q +- 1) — which differs from the tap
+    # clamp clip(p+ci+-1) exactly when p == -1 (eA vs dy=+1) or p == H-1
+    # (eB vs dy=0). With these two blocks (and the column analogs) the
+    # kernel is exact at texture borders with no XLA patching.
     def _row_oh(rows, band):
         loc = np.clip(rows, 0, H - 1) - oy_all[band]
         return loc[:, None] == np.arange(IH)[None, :]
 
-    rstack = np.zeros((GY, 10 * TH, IH), np.float32)
+    rstack = np.zeros((GY, 12 * TH, IH), np.float32)
     for i in range(GY):
         r = rows_out[i]
         blocks = [_row_oh(pyi[r] + dy, i) for dy in _NIS_DYS]
+        blocks += [_row_oh(np.clip(pyi[r], 0, H - 1) + 1, i),
+                   _row_oh(np.clip(pyi[r] + 1, 0, H - 1) - 1, i)]
         blocks += [_row_oh(oy0[r], i), _row_oh(oy0[r] + 1, i),
                    _row_oh(fy0[r], i), _row_oh(fy0[r] + 1, i)]
         rstack[i] = np.concatenate(blocks, axis=0)
 
-    sstack = np.zeros((NCHUNK, KC, 10 * CHUNK), np.float32)
+    sstack = np.zeros((NCHUNK, KC, 12 * CHUNK), np.float32)
     for k in range(NCHUNK):
         cs_ = slice(k * CHUNK, k * CHUNK + CHUNK)
         blocks = [np.clip(pxi_p[cs_] + dx, 0, W - 1) - cw0[k] for dx in _NIS_DYS]
+        blocks += [np.clip(np.clip(pxi_p[cs_], 0, W - 1) + 1, 0, W - 1) - cw0[k],
+                   np.clip(np.clip(pxi_p[cs_] + 1, 0, W - 1) - 1, 0, W - 1)
+                   - cw0[k]]
         blocks += [np.clip(ox0_p[cs_], 0, W - 1) - cw0[k],
                    np.clip(ox0_p[cs_] + 1, 0, W - 1) - cw0[k],
                    np.clip(fx0_p[cs_], 0, W - 1) - cw0[k],
@@ -557,9 +580,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             band4 = inbuf[slot]                  # (4, IH, WP) integer texels
             band = [band4[c] for c in range(4)]
 
-        r_taps = rst_r[0][:6 * TH]
-        r_op = rst_r[0][6 * TH:8 * TH]
-        r_fb = rst_r[0][8 * TH:]
+        r_taps = rst_r[0][:8 * TH]      # 6 dy blocks + eA + eB (edge rows)
+        r_op = rst_r[0][8 * TH:10 * TH]
+        r_fb = rst_r[0][10 * TH:]
 
         rp = rowp_r[0]                           # (18, TH, 1)
         fy, fy64 = rp[0], rp[1]
@@ -575,8 +598,8 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         def _fb_chunk(k, c0, w0, ffx_c):
             for c in range(3):
                 gb = _mm(r_fb, band[c][:, w0:w0 + KC])
-                t0 = _mm(gb, sst_r[k][:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
-                t1 = _mm(gb, sst_r[k][:, 9 * CHUNK:]) * inv_cmax
+                t0 = _mm(gb, sst_r[k][:, 10 * CHUNK:11 * CHUNK]) * inv_cmax
+                t1 = _mm(gb, sst_r[k][:, 11 * CHUNK:]) * inv_cmax
                 top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
                 bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
                 s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
@@ -610,30 +633,48 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
                     sall = sst_r[k]
                     # ---- 6x6 luma taps (3 exact bf16 splits) -------------------
+                    # g rows: 6 dy tap blocks + the eA/eB edge rows (indices
+                    # 6, 7); col blocks 6, 7 are the eA'/eB' edge columns.
+                    # Edge-only taps are materialized just for the (row, col)
+                    # pairs the 4 corner 3x3 neighborhoods read.
                     g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
                     p01 = {}
-                    for dxk, dx in enumerate(_NIS_DYS):
+                    for dxk in range(8):
                         scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
                         t = [_mm(gs, scol) for gs in g]
-                        for dyk in range(6):
+                        if dxk < 6:
+                            dyks = range(6) if dxk in (0, 5) else range(8)
+                        else:          # eA'/eB' columns: edge-map rows only
+                            dyks = (1, 2, 3, 4, 6, 7)
+                        for dyk in dyks:
                             sl = slice(dyk * TH, (dyk + 1) * TH)
                             p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
-                    p = {k2: v * n255 for k2, v in p01.items()}
+                    p = {k2: cast(v * n255) for k2, v in p01.items()
+                         if k2[0] < 6 and k2[1] < 6}
+
+                    # half mode: filter math below runs in dt — coefficient
+                    # maps and lerp fractions get dt views (compares stay on
+                    # the f32 originals; the VPU has no bf16 compare)
+                    fxd, fyd = cast(fx), cast(fy)
+                    cxd, cuxd = [cast(c) for c in cx], [cast(c) for c in cux]
+                    cyd, cuyd = [cast(c) for c in cy], [cast(c) for c in cuy]
 
                     # ---- FilterNormal (NIS_Scaler.h:436-453) -------------------
                     pixel_n = None
                     for j in range(6):
-                        v_acc = p[0, j] * cy[0]
+                        v_acc = p[0, j] * cyd[0]
                         for ii in range(1, 6):
-                            v_acc = v_acc + p[ii, j] * cy[ii]
-                        term = v_acc * cx[j]
+                            v_acc = v_acc + p[ii, j] * cyd[ii]
+                        term = v_acc * cxd[j]
                         pixel_n = term if pixel_n is None else pixel_n + term
 
                     # ---- f0 / f90 ----------------------------------------------
-                    interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fx) for ii in range(6)]
-                    f0 = eval_poly6_core(interp0, cy, cuy, loy, cfg)
-                    interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fy) for ii in range(6)]
-                    f90 = eval_poly6_core(interp90, cx, cux, lox, cfg)
+                    interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fxd)
+                               for ii in range(6)]
+                    f0 = eval_poly6_core(interp0, cyd, cuyd, loy, cfg, dt)
+                    interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fyd)
+                                for ii in range(6)]
+                    f90 = eval_poly6_core(interp90, cxd, cuxd, lox, cfg, dt)
 
                     # ---- diagonal phases + circulant coefficient planes --------
                     cc45 = _mm(w45, aoh_r[k])        # (72*TH, CHUNK)
@@ -654,9 +695,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     base45 = axi + byi
                     base45 = jnp.where(base45 >= 64, base45 - 64, base45)
                     cr45 = (ph45 != base45)[None]
-                    cs45 = [jnp.where(cr45[0], a, b) for a, b in
+                    cs45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
                             zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
-                    cu45 = [jnp.where(cr45[0], a, b) for a, b in
+                    cu45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
                             zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
 
                     s135 = F32(64.0) + (fx64 - fy64)
@@ -664,19 +705,23 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     ph135 = s135.astype(jnp.int32)
                     base135 = axi - byi + 63
                     base135 = jnp.where(base135 >= 64, base135 - 64, base135)
-                    cs135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                    cs135 = [cast(jnp.where((ph135 != base135), a, b))
+                             for a, b in
                              zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
-                    cu135 = [jnp.where((ph135 != base135), a, b) for a, b in
+                    cu135 = [cast(jnp.where((ph135 != base135), a, b))
+                             for a, b in
                              zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
 
                     # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
-                    b45v = F32(0.5) + F32(0.5) * (fx - fy)
+                    b45f = F32(0.5) + F32(0.5) * (fx - fy)
+                    hi45 = b45f >= F32(0.5)
+                    b45v = cast(b45f)
+                    b45p = cast(jnp.where(hi45, b45f - F32(0.5),
+                                          F32(0.5) - b45f))
                     t45 = [None] * 7
                     t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
                     t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
                     t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
-                    hi45 = b45v >= F32(0.5)
-                    b45p = jnp.where(hi45, b45v - F32(0.5), F32(0.5) - b45v)
                     t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
                                        hlsl_lerp(p[1, 1], p[2, 0], b45p))
                     t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
@@ -688,15 +733,18 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     wrap = (fx + fy) >= F32(1.0)
                     interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
                                 for ii in range(6)]
-                    f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32, cfg)
+                    f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32,
+                                          cfg, dt)
 
-                    b135v = F32(0.5) * (fx + fy)
+                    b135f = F32(0.5) * (fx + fy)
+                    hi135 = b135f >= F32(0.5)
+                    b135v = cast(b135f)
+                    b135p = cast(jnp.where(hi135, b135f - F32(0.5),
+                                           F32(0.5) - b135f))
                     t135 = [None] * 7
                     t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
                     t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
                     t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
-                    hi135 = b135v >= F32(0.5)
-                    b135p = jnp.where(hi135, b135v - F32(0.5), F32(0.5) - b135v)
                     t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
                                         hlsl_lerp(p[4, 1], p[3, 0], b135p))
                     t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
@@ -708,13 +756,20 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
                     interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
                                  for ii in range(6)]
-                    f135 = eval_poly6_core(interp135, cs135, cu135, ph135 <= 32, cfg)
+                    f135 = eval_poly6_core(interp135, cs135, cu135,
+                                           ph135 <= 32, cfg, dt)
 
                     # ---- edge map at the 4 corners, from the same luma taps ----
+                    # corner q = clip(p+ci) reads rows clip(q-1), q, clip(q+1)
+                    # (shared-memory clamp composition): ci=0 -> blocks
+                    # (dy=-1, dy=0, eA); ci=1 -> (eB, dy=+1, dy=+2); columns
+                    # likewise — exact at borders, identical to the tap
+                    # blocks everywhere else.
+                    esel = ((1, 2, 6), (7, 3, 4))
                     ws = []
                     for ci in (0, 1):
                         for cj in (0, 1):
-                            p3 = {(rr, cc2): p01[2 + ci - 1 + rr, 2 + cj - 1 + cc2]
+                            p3 = {(rr, cc2): p01[esel[ci][rr], esel[cj][cc2]]
                                   for rr in range(3) for cc2 in range(3)}
                             ws.append(_edge_weights_jax(*_edge_grads(p3), cfg))
                     wk = []
@@ -731,8 +786,8 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     op = []
                     for c in range(4):
                         gb = _mm(r_op, band[c][:, w0:w0 + KC])
-                        t0 = _mm(gb, sall[:, 6 * CHUNK:7 * CHUNK]) * inv_cmax
-                        t1 = _mm(gb, sall[:, 7 * CHUNK:8 * CHUNK]) * inv_cmax
+                        t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
+                        t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * inv_cmax
                         # bilinear_sample_jax form: c00*(1-fx) + c10*fx
                         top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
                         bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
@@ -787,8 +842,8 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, 10 * TH, IH), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((NCHUNK, KC, 10 * CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, 12 * TH, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, KC, 12 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, 64, CHUNK), lambda b, i, *_: (0, 0, 0)),

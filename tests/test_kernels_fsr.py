@@ -95,7 +95,8 @@ class TestFusedFsrKernel:
     @pytest.mark.parametrize("radius", [2.0, 0.5, 0.0])
     def test_nvscaler_matches_xla(self, radius):
         """NIS upscaling -> kernels/nis.py NVScaler (circulant 64-phase LUT,
-        exact 3-split bf16 luma gathers, XLA border-strip patching)."""
+        exact 3-split bf16 luma gathers, in-kernel exact border clamp
+        composition — no XLA patching)."""
         got, ref = _run_pair(96, 130, radius, rs=0.75, use_nis=True)
         _assert_close(got, ref)
 
@@ -186,4 +187,9 @@ class TestHalfPrecisionAllPaths:
         # entirely (the reference's min16float path has the same cliff) —
         # bound the tail by quantile, not worst pixel.
         d = self._run(rs=1.0, use_nis=True)
+        assert (d <= 2).mean() >= 0.95 and (d <= 32).mean() >= 0.999
+
+    def test_nvscaler_half(self):
+        # same edge-classification cliff as NVSharpen: quantile-bounded
+        d = self._run(rs=0.75, use_nis=True)
         assert (d <= 2).mean() >= 0.95 and (d <= 32).mean() >= 0.999
