@@ -1,0 +1,243 @@
+"""Second-stage microbench: validate the v3 fused-kernel restructure.
+
+Cases (all grid (2,20), same DMA skeleton as microbench.py):
+  A. easu_core per 128-col chunk (current structure, 18 calls/band)
+  B. easu_core band-wide once on (3, 130, 2304) taps from scratch
+  C. matmul issue rate: N x (520,100)@(100,256) bf16 per band
+  D. pltpu.roll-based 5-tap cross vs concat+shift slices
+  E. lane interleave of 4 phase planes -> (128, 2304)
+"""
+
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from openvr_fsr_tpu.ops.easu import easu_core, TAP_ORDER
+
+    B, GY = 2, 20
+    IH, WP = 112, 1792
+    TH, OWP = 128, 2304
+    TH_E = TH + 2
+    H_IN = 1872
+    TOTAL = B * GY
+
+    rng = np.random.default_rng(0)
+    imgs = [jax.device_put(
+        rng.integers(0, 2**32, (B, H_IN, WP), dtype=np.uint32))
+        for _ in range(3)]
+    ppx = jax.device_put(rng.random((1, OWP), np.float32))
+    ppy = jax.device_put(rng.random((TH_E, 1), np.float32))
+    oh_rows = jax.device_put(  # fake one-hot-ish row matrix
+        rng.random((520, IH), np.float32).astype(jnp.bfloat16))
+    oh_cols = jax.device_put(
+        rng.random((100, 256), np.float32).astype(jnp.bfloat16))
+
+    def bench(fn, *args, iters=30):
+        y = fn(*args)
+        _ = np.asarray(y[0, 0, 0])
+
+        def run(n):
+            t0 = time.perf_counter()
+            for i in range(n):
+                y = fn(*args)
+            _ = np.asarray(jnp.sum(y[:, ::373, ::373]))
+            return (time.perf_counter() - t0) / n * 1000.0
+        run(3)
+        return min(run(iters) for _ in range(2))
+
+    def skeleton(body, extra_scratch=(), extra_in=()):
+        def kernel(img, *refs):
+            out_ref = refs[len(extra_in)]
+            scratch = refs[len(extra_in) + 1:]
+            inbuf, sems = scratch[0], scratch[-1]
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            step = b * GY + i
+
+            def dma(slot, bb, ii):
+                src = img.at[bb, pl.ds(pl.multiple_of(ii * 88, 8), IH)]
+                return pltpu.make_async_copy(src, inbuf.at[slot],
+                                             sems.at[slot])
+
+            @pl.when(step == 0)
+            def _():
+                dma(0, b, i).start()
+
+            @pl.when(step + 1 < TOTAL)
+            def _():
+                dma((step + 1) % 2, (step + 1) // GY,
+                    (step + 1) % GY).start()
+
+            slot = jax.lax.rem(step, 2)
+            dma(slot, b, i).wait()
+            body(inbuf[slot], refs[:len(extra_in)], out_ref,
+                 scratch[1:-1])
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, GY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+            + [pl.BlockSpec(memory_space=pltpu.ANY
+                            if False else pltpu.VMEM)
+               for _ in extra_in],
+            out_specs=pl.BlockSpec((1, TH, OWP), lambda b, i: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((2, IH, WP), jnp.uint32)]
+            + list(extra_scratch) + [pltpu.SemaphoreType.DMA((2,))],
+        )
+        call = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, GY * TH, OWP), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=128 * 1024 * 1024))
+        return jax.jit(lambda x, *e: call(x, *e))
+
+    F32 = np.float32
+
+    def fake_taps_chunk(base, c0):
+        # 12 taps as cheap shifted views of one (3, TH_E, 128) slab
+        sl = base[:, :, c0:c0 + 128]
+        return {off: sl * F32(1.0 + 0.001 * i)
+                for i, off in enumerate(TAP_ORDER)}
+
+    def store_u32(out_ref, res):
+        q8 = jnp.round(jnp.clip(res, F32(0), F32(1))
+                       * F32(255)).astype(jnp.int32)
+        out_ref[0] = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jnp.int32(-16777216)).astype(jnp.uint32)
+
+    # --- A: easu_core per chunk ------------------------------------------
+    def body_a(band, _ins, out_ref, scratch):
+        s_easu = scratch[0]
+        base = jnp.broadcast_to(
+            (band[:8, :].astype(jnp.int32) & 255).astype(jnp.float32)
+            [None, None] * F32(1 / 255),
+            (3, (TH_E + 7) // 8, 8, WP)).reshape(3, -1, WP)[:, :TH_E, :OWP]
+        # pad cols WP->OWP via wrap
+        base = jnp.concatenate([base, base[:, :, :OWP - WP]], axis=2)
+        for k in range(18):
+            c0 = k * 128
+            taps = fake_taps_chunk(base, c0)
+            s_easu[:, :, c0:c0 + 128] = easu_core(
+                taps, ppx[:, c0:c0 + 128], ppy).astype(jnp.float32)
+        store_u32(out_ref, s_easu[:, 1:1 + TH])
+
+    fa = skeleton(body_a, extra_scratch=[
+        pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
+
+    # --- B: easu_core band-wide ------------------------------------------
+    def body_b(band, _ins, out_ref, scratch):
+        s_easu = scratch[0]
+        base = jnp.broadcast_to(
+            (band[:8, :].astype(jnp.int32) & 255).astype(jnp.float32)
+            [None, None] * F32(1 / 255),
+            (3, (TH_E + 7) // 8, 8, WP)).reshape(3, -1, WP)[:, :TH_E, :OWP]
+        base = jnp.concatenate([base, base[:, :, :OWP - WP]], axis=2)
+        taps = {off: base * F32(1.0 + 0.001 * i)
+                for i, off in enumerate(TAP_ORDER)}
+        s_easu[:] = easu_core(taps, ppx, ppy).astype(jnp.float32)
+        store_u32(out_ref, s_easu[:, 1:1 + TH])
+
+    fb = skeleton(body_b, extra_scratch=[
+        pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
+
+    # --- C: matmul issue rate --------------------------------------------
+    def make_mm(n_mm):
+        def body(band, ins, out_ref, scratch):
+            rowoh, coloh = ins
+            acc = scratch[0]
+            g = jax.lax.dot_general(
+                rowoh[...], band[:IH].astype(jnp.bfloat16)[:, :100],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # (520,100)... wait
+            gb = g.astype(jnp.bfloat16)
+            for k in range(n_mm):
+                t = jax.lax.dot_general(
+                    gb, coloh[...], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)   # (520,256)
+                acc[:, k % 4 * 256:(k % 4) * 256 + 256] += t[:TH_E * 4:4]
+            res = jnp.broadcast_to(acc[None, :TH_E],
+                                   (3, TH_E, 1024))
+            res = jnp.concatenate([res, res[:, :, :OWP - 1024]], 2)
+            store_u32(out_ref, res[:, 1:1 + TH] * F32(1e-6))
+        return skeleton(body, extra_scratch=[
+            pltpu.VMEM((TH_E * 4, 1024), jnp.float32)],
+            extra_in=(oh_rows, oh_cols))
+
+    # --- D: roll vs concat 5-tap cross -----------------------------------
+    def body_roll(band, _ins, out_ref, scratch):
+        s = scratch[0]
+        base = jnp.broadcast_to(
+            (band[:8, :].astype(jnp.int32) & 255).astype(jnp.float32)
+            [None, None] * F32(1 / 255),
+            (3, (TH_E + 7) // 8, 8, WP)).reshape(3, -1, WP)[:, :TH_E, :OWP]
+        base = jnp.concatenate([base, base[:, :, :OWP - WP]], axis=2)
+        s[:] = base
+        e = s[:, 1:1 + TH]
+        bq = s[:, 0:TH]
+        hq = s[:, 2:2 + TH]
+        d = pltpu.roll(e, 1, 2)
+        f = pltpu.roll(e, -1, 2)
+        res = (bq + hq + d + f) * F32(0.25) + e * F32(0.5)
+        store_u32(out_ref, res * F32(0.5))
+
+    froll = skeleton(body_roll, extra_scratch=[
+        pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
+
+    def body_concat(band, _ins, out_ref, scratch):
+        s = scratch[0]
+        base = jnp.broadcast_to(
+            (band[:8, :].astype(jnp.int32) & 255).astype(jnp.float32)
+            [None, None] * F32(1 / 255),
+            (3, (TH_E + 7) // 8, 8, WP)).reshape(3, -1, WP)[:, :TH_E, :OWP]
+        base = jnp.concatenate([base, base[:, :, :OWP - WP]], axis=2)
+        s[:] = base
+        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
+        qx = jnp.concatenate([padl, s[...], padl], axis=2)
+        e = qx[:, 1:1 + TH, 1:1 + OWP]
+        bq = qx[:, 0:TH, 1:1 + OWP]
+        hq = qx[:, 2:2 + TH, 1:1 + OWP]
+        d = qx[:, 1:1 + TH, 0:OWP]
+        f = qx[:, 1:1 + TH, 2:2 + OWP]
+        res = (bq + hq + d + f) * F32(0.25) + e * F32(0.5)
+        store_u32(out_ref, res * F32(0.5))
+
+    fconcat = skeleton(body_concat, extra_scratch=[
+        pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
+
+    # --- E: lane interleave 4 -> 1 ----------------------------------------
+    def body_inter(band, _ins, out_ref, scratch):
+        planes = [(band[:TH, k * 576:(k + 1) * 576]) for k in range(4)]
+        st = jnp.stack(planes, axis=-1)          # (TH, 576, 4)
+        out_ref[0] = st.reshape(TH, OWP)
+
+    finter = skeleton(body_inter)
+
+    print("easu_core per-chunk (18x (3,130,128)): "
+          f"{bench(fa):7.3f} ms", flush=True)
+    print("easu_core band-wide ((3,130,2304)):    "
+          f"{bench(fb):7.3f} ms", flush=True)
+    for n in (9, 36, 72):
+        fmm = make_mm(n)
+        ms = bench(lambda x, f=fmm: f(x, oh_rows, oh_cols))
+        print(f"{n:3d} col-matmuls/band (520,100)@(100,256): {ms:7.3f} ms",
+              flush=True)
+    print(f"5-tap cross via pltpu.roll:  {bench(froll):7.3f} ms", flush=True)
+    print(f"5-tap cross via concat+slice:{bench(fconcat):7.3f} ms",
+          flush=True)
+    print(f"lane interleave 4->2304:     {bench(finter):7.3f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
