@@ -378,12 +378,57 @@ class Pipeline:
 
         return jax.jit(run)
 
-    def process(self, frames, eyes=None):
+    @staticmethod
+    def bounds_contain_one_eye(bounds):
+        """The reference's textureContainsOnlyOneEye detection
+        (PostProcessor.cpp:146): |uMax - uMin| > 0.5 means the submitted
+        bounds cover more than half the texture width, i.e. the texture
+        holds a single eye; half-width bounds mean a double-wide shared
+        texture. Evaluated in f32 like the C++."""
+        u_min, _v_min, u_max, _v_max = (float(x) for x in bounds)
+        return bool(abs(F32(u_max) - F32(u_min)) > F32(0.5))
+
+    def crop_output(self, out, bounds):
+        """Crop processed frames to the VRTextureBounds_t rectangle
+        (headers/openvr.h:609-613), mapped to output pixels. The reference
+        never crops — the compositor samples the submitted bounds from the
+        full processed texture (VrHooks.cpp:54) — so this is the library-API
+        equivalent of that sampling region. Flipped bounds (vMin > vMax,
+        used by OpenGL-convention games) select the same rectangle."""
+        u0, v0, u1, v1 = (float(x) for x in bounds)
+        h, w = int(out.shape[-3]), int(out.shape[-2])
+        x0, x1 = sorted((int(round(u0 * w)), int(round(u1 * w))))
+        y0, y1 = sorted((int(round(v0 * h)), int(round(v1 * h))))
+        x0, x1 = max(x0, 0), min(x1, w)
+        y0, y1 = max(y0, 0), min(y1, h)
+        return out[..., y0:y1, x0:x1, :]
+
+    def process(self, frames, eyes=None, bounds=None, crop=False):
         """frames: (B, H, W, 4) or (H, W, 4) uint8 (or uint16 for 10-bit).
-        eyes: per-entry eye index (default alternating 0,1,...). Returns the
-        processed frames at output resolution, same integer dtype."""
+        eyes: per-entry eye index (default alternating 0,1,...).
+        bounds: optional VRTextureBounds_t (uMin, vMin, uMax, vMax), or a
+          per-entry sequence of them. Like the reference (PostProcessor.cpp:
+          146), the first entry's bounds decide the eye layout: half-width
+          bounds switch the pipeline to double-wide packing (sticky until
+          the next bounds say otherwise; switching drops compiled resources,
+          the Reset() analog).
+        crop: with bounds, return only the bounded region of the output
+          (the compositor's sampling rectangle).
+        Returns the processed frames at output resolution, same dtype."""
         if not self.config.enabled:
             return frames
+        first_bounds = None
+        if bounds is not None:
+            first_bounds = (bounds[0] if hasattr(bounds[0], "__len__")
+                            else bounds)
+            one_eye = self.bounds_contain_one_eye(first_bounds)
+            if one_eye != self.single_eye_per_frame:
+                self._log.info(
+                    "Texture bounds imply %s layout, recreating resources",
+                    "single-eye" if one_eye else "double-wide")
+                self.single_eye_per_frame = one_eye
+                self.timer = GpuTimer(scale_for_stereo=one_eye)
+                self.reset()
         squeeze = hasattr(frames, "ndim") and frames.ndim == 3
         shape = frames.shape if not squeeze else (1,) + frames.shape
         b, h, w = shape[0], shape[1], shape[2]
@@ -409,19 +454,24 @@ class Pipeline:
             out = self.timer.measure(fn, inp, pairs=pairs)
         else:
             out = fn(inp)
+        if crop and first_bounds is not None:
+            out = self.crop_output(out, first_bounds)
         return out[0] if squeeze else out
 
 
 def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
             eye_centers=None, debug=False, eyes=None, color_bits=None,
-            single_eye_per_frame=True, backend="auto", precision="full"):
+            single_eye_per_frame=True, backend="auto", precision="full",
+            bounds=None, crop=False):
     """One-shot functional API.
 
     frame: (H, W, 4) or (B, H, W, 4) uint8 RGBA (uint16 for 10-bit).
     render_scale: <1 upscales by 1/rs; >1 supersamples by rs; 1/None = sharpen
     only. precision: "full" (oracle parity) or "half" (the packed-fp16
-    analog). Other args mirror openvr_mod.cfg keys. Returns processed
-    frame(s).
+    analog). bounds: optional VRTextureBounds_t (uMin, vMin, uMax, vMax) —
+    half-width bounds select double-wide eye packing (PostProcessor.cpp:146);
+    with crop=True only the bounded output region is returned. Other args
+    mirror openvr_mod.cfg keys. Returns processed frame(s).
     """
     cfg = Config(enabled=True, use_nis=use_nis,
                  render_scale=1.0 if render_scale is None else float(render_scale),
@@ -431,4 +481,4 @@ def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
                     single_eye_per_frame=single_eye_per_frame,
                     color_bits=color_bits, backend=backend,
                     precision=precision)
-    return pipe.process(frame, eyes=eyes)
+    return pipe.process(frame, eyes=eyes, bounds=bounds, crop=crop)

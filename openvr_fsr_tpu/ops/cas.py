@@ -9,7 +9,12 @@ import numpy as np
 
 from .common import F32, sat, aprx_lo_rcp, aprx_med_rcp, min3, max3, rcp
 
-__all__ = ["cas_sharpen_jax", "cas_core", "cas_setup_sharp", "aprx_lo_sqrt"]
+__all__ = ["cas_sharpen_jax", "cas_core", "cas_setup_sharp", "aprx_lo_sqrt",
+           "cas_upscale_core", "cas_upscale_jax", "CAS_TAP_OFFSETS"]
+
+# 4x4 footprint of the scaling path (ffx_cas.h:554-587), (dx, dy) keys
+CAS_TAP_OFFSETS = tuple((dx, dy) for dy in (-1, 0, 1, 2)
+                        for dx in (-1, 0, 1, 2))
 
 
 def aprx_lo_sqrt(a):
@@ -45,6 +50,94 @@ def cas_core(taps, sharp, max_color_delta):
     pix = sat((b * w_g + d * w_g + f * w_g + h * w_g + e) * rcp_weight)
     mcd = F32(max_color_delta)
     return jnp.minimum(jnp.maximum(pix, e - mcd), e + mcd)
+
+
+def cas_upscale_core(taps, ppx, ppy, sharp):
+    """CasFilter noScaling=false (ffx_cas.h:552-892) given the 16 gathered
+    taps — the mod's upscale shader flags: CAS_SHARPEN_ONLY=0 and *no*
+    CAS_BETTER_DIAGONALS (src/cas/cas.upscale.hlsl), fast approximations,
+    green-coefficient weighting. No maxColorDelta clamp on this path
+    (ffx_cas.h:876-878). Pure jnp — shared by the XLA op and the Pallas
+    kernel (same f32 op order as oracle/cas.cas_upscale_oracle).
+
+    taps: dict (dx, dy) -> (3, h, w) channel-leading arrays.
+    ppx/ppy: fractional coords broadcastable against (h, w).
+    """
+    one = F32(1.0)
+    b, c = taps[(0, -1)], taps[(1, -1)]
+    e, f, g, h = taps[(-1, 0)], taps[(0, 0)], taps[(1, 0)], taps[(2, 0)]
+    i, j, k, ll = taps[(-1, 1)], taps[(0, 1)], taps[(1, 1)], taps[(2, 1)]
+    n, o = taps[(0, 2)], taps[(1, 2)]
+
+    def soft_g(up, lf, ce, rt, dn):  # green-channel 5-tap soft min/max
+        mn = jnp.minimum(min3(up, lf, ce), jnp.minimum(rt, dn))
+        mx = jnp.maximum(max3(up, lf, ce), jnp.maximum(rt, dn))
+        return mn, mx
+
+    G = 1
+    mnf, mxf = soft_g(b[G], e[G], f[G], g[G], j[G])
+    mng, mxg = soft_g(c[G], f[G], g[G], h[G], k[G])
+    mnj, mxj = soft_g(f[G], i[G], j[G], k[G], n[G])
+    mnk, mxk = soft_g(g[G], j[G], k[G], ll[G], o[G])
+
+    def weight(mn, mx):
+        amp = aprx_lo_sqrt(sat(jnp.minimum(mn, one - mx) * aprx_lo_rcp(mx)))
+        return amp * sharp
+
+    wf, wg = weight(mnf, mxf), weight(mng, mxg)
+    wj, wk = weight(mnj, mxj), weight(mnk, mxk)
+
+    s = (one - ppx) * (one - ppy)
+    t = ppx * (one - ppy)
+    u = (one - ppx) * ppy
+    v = ppx * ppy
+    thin = F32(1.0 / 32.0)
+    s = s * aprx_lo_rcp(thin + (mxf - mnf))
+    t = t * aprx_lo_rcp(thin + (mxg - mng))
+    u = u * aprx_lo_rcp(thin + (mxj - mnj))
+    v = v * aprx_lo_rcp(thin + (mxk - mnk))
+
+    qbe = wf * s
+    qch = wg * t
+    qf = wg * t + wj * u + s
+    qg = wf * s + wk * v + t
+    qj = wf * s + wk * v + u
+    qk = wg * t + wj * u + v
+    qin = wj * u
+    qlo = wk * v
+    rcp_w = aprx_med_rcp(F32(2.0) * qbe + F32(2.0) * qch + F32(2.0) * qin
+                         + F32(2.0) * qlo + qf + qg + qj + qk)[None]
+    return sat((b * qbe + e * qbe + c * qch + h * qch + i * qin + n * qin
+                + ll * qlo + o * qlo + f * qf + g * qg + j * qj + k * qk)
+               * rcp_w)
+
+
+def cas_upscale_index_maps(in_n, out_n):
+    """Per-axis pp maps (ffx_cas.h:385-388, 568-571), f32-faithful numpy."""
+    scale = np.float32(in_n) * rcp(np.float32(out_n))
+    off = F32(0.5) * np.float32(in_n) * rcp(np.float32(out_n)) - F32(0.5)
+    pp = (np.arange(out_n, dtype=np.float32) * scale + off
+          ).astype(np.float32)
+    fp = np.floor(pp)
+    return fp.astype(np.int64), (pp - fp).astype(np.float32)
+
+
+def cas_upscale_jax(rgb, sharpness, out_w, out_h):
+    """rgb: (3, H, W) f32 in [0,1]. Returns (3, out_h, out_w) f32."""
+    _, h, w = rgb.shape
+    fx, ppx = cas_upscale_index_maps(w, out_w)
+    fy, ppy = cas_upscale_index_maps(h, out_h)
+    pad = jnp.pad(rgb, ((0, 0), (1, 3), (1, 3)))  # CasLoad OOB -> zero
+
+    def tap(dx, dy):
+        ys = np.clip(fy + dy + 1, 0, h + 3)
+        xs = np.clip(fx + dx + 1, 0, w + 3)
+        return jnp.take(jnp.take(pad, ys, axis=1), xs, axis=2)
+
+    taps = {off: tap(*off) for off in CAS_TAP_OFFSETS}
+    return cas_upscale_core(taps, jnp.asarray(ppx)[None, :],
+                            jnp.asarray(ppy)[:, None],
+                            cas_setup_sharp(sharpness))
 
 
 def _shift_zero(rgb, dy, dx):

@@ -4,8 +4,11 @@ ops/cas.py — the vestigial third kernel, old-release parity)."""
 import numpy as np
 import pytest
 
-from openvr_fsr_tpu.oracle.cas import cas_setup, cas_sharpen_oracle
-from openvr_fsr_tpu.ops.cas import cas_sharpen_jax, cas_setup_sharp
+from openvr_fsr_tpu.oracle.cas import (cas_setup, cas_sharpen_oracle,
+                                       cas_support_scaling,
+                                       cas_upscale_oracle)
+from openvr_fsr_tpu.ops.cas import (cas_sharpen_jax, cas_setup_sharp,
+                                    cas_upscale_jax)
 from openvr_fsr_tpu.utils import frames as FR
 
 
@@ -39,6 +42,50 @@ class TestCasOracle:
         img = (FR.noise_frame(24, 24)[..., :3].astype(np.float32) / 255)
         out = cas_sharpen_oracle(img, 1.0, max_color_delta=0.01)
         assert np.abs(out - img).max() <= 0.01 + 1e-6
+
+
+class TestCasUpscale:
+    def test_support_scaling_limit(self):
+        # ffx_cas.h:368-372: <= 4x area supported
+        assert cas_support_scaling(200, 200, 100, 100)
+        assert not cas_support_scaling(201, 201, 100, 100)
+
+    def test_identity_scale_differs_from_sharpen_only(self):
+        # the scaling path is a different algorithm even at 1:1 (it blends 4
+        # cross results with thin-edge weights); just assert it runs and
+        # stays in range
+        img = FR.noise_frame(20, 24, seed=3)[..., :3].astype(np.float32) / 255
+        out = cas_upscale_oracle(img, 0.5, 24, 20)
+        assert out.shape == (20, 24, 3)
+        assert out.min() >= 0 and out.max() <= 1
+
+    def test_flat_field_preserved(self):
+        img = np.full((16, 16, 3), 0.25, np.float32)
+        out = cas_upscale_oracle(img, 0.8, 30, 28)
+        assert np.abs(out[2:-2, 2:-2] - 0.25).max() < 2e-3
+
+    def test_upscale_tracks_bilinear_on_smooth_gradient(self):
+        # On a smooth ramp the adaptive blend should stay close to the
+        # underlying signal after 1.5x upscaling (no ringing beyond taps)
+        x = np.linspace(0.1, 0.9, 32, dtype=np.float32)
+        img = np.broadcast_to(x[None, :, None], (32, 32, 3)).astype(np.float32)
+        out = cas_upscale_oracle(img, 0.3, 48, 48)
+        x_up = np.linspace(0.1, 0.9, 48, dtype=np.float32)
+        assert np.abs(out[24, 6:-6, 1] - x_up[6:-6]).max() < 0.05
+
+    def test_jax_matches_oracle(self):
+        img = FR.noise_frame(36, 44, seed=11)[..., :3].astype(np.float32) / \
+            np.float32(255)
+        want = cas_upscale_oracle(img, 0.6, 64, 52)
+        got = np.asarray(cas_upscale_jax(img.transpose(2, 0, 1), 0.6, 64, 52))
+        assert np.abs(got.transpose(1, 2, 0) - want).max() <= exactness_tol()
+
+    def test_jax_matches_oracle_2x(self):
+        img = FR.zone_plate_frame(30, 30)[..., :3].astype(np.float32) / \
+            np.float32(255)
+        want = cas_upscale_oracle(img, 1.0, 60, 60)
+        got = np.asarray(cas_upscale_jax(img.transpose(2, 0, 1), 1.0, 60, 60))
+        assert np.abs(got.transpose(1, 2, 0) - want).max() <= exactness_tol()
 
 
 class TestCasJax:

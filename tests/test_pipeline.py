@@ -196,3 +196,71 @@ class TestCapture:
         names = [p.name for p in paths]
         assert any(n.startswith("capture_") and n.endswith("_fsr_s90_r50.dds")
                    for n in names)
+
+
+class TestTextureBounds:
+    """VRTextureBounds_t semantics (headers/openvr.h:609-613,
+    PostProcessor.cpp:128-131, 146)."""
+
+    def test_detection_formula(self):
+        # |uMax-uMin| > 0.5 => texture holds a single eye
+        assert Pipeline.bounds_contain_one_eye((0, 0, 1, 1))
+        assert Pipeline.bounds_contain_one_eye((1, 0, 0, 1))  # abs()
+        assert not Pipeline.bounds_contain_one_eye((0, 0, 0.5, 1))
+        assert not Pipeline.bounds_contain_one_eye((0.5, 0, 1.0, 1))
+
+    def test_half_width_bounds_switch_to_double_wide(self):
+        cfg = Config(enabled=True, render_scale=0.75, radius=0.5)
+        f = FR.gradient_frame(32, 64)
+        # left-half bounds => double-wide packing, identical to a pipeline
+        # constructed with single_eye_per_frame=False
+        pipe = Pipeline(cfg, single_eye_per_frame=True)
+        got = np.asarray(pipe.process(f, bounds=(0.0, 0.0, 0.5, 1.0)))
+        assert pipe.single_eye_per_frame is False
+        want = np.asarray(
+            Pipeline(cfg, single_eye_per_frame=False).process(f))
+        assert np.array_equal(got, want)
+
+    def test_full_bounds_keep_single_eye(self):
+        cfg = Config(enabled=True, render_scale=0.75, radius=0.5)
+        pipe = Pipeline(cfg, single_eye_per_frame=True)
+        pipe.process(FR.gradient_frame(24, 24), bounds=(0, 0, 1, 1))
+        assert pipe.single_eye_per_frame is True
+
+    def test_layout_switch_resets_resources(self):
+        cfg = Config(enabled=True, render_scale=0.75)
+        pipe = Pipeline(cfg, single_eye_per_frame=True)
+        f = FR.gradient_frame(24, 24)
+        pipe.process(f)
+        assert len(pipe._cache) == 1
+        pipe.process(f, bounds=(0, 0, 0.5, 1))   # switch => Reset analog
+        assert pipe.single_eye_per_frame is False
+        assert len(pipe._cache) == 1  # rebuilt under the new layout
+
+    def test_crop_matches_uncropped_region(self):
+        cfg = Config(enabled=True, render_scale=0.75, radius=0.5)
+        f = FR.noise_frame(36, 32, seed=5)
+        full = np.asarray(Pipeline(cfg).process(f))
+        oh, ow = full.shape[0], full.shape[1]
+        b = (0.25, 0.125, 1.0, 0.875)
+        crop = np.asarray(Pipeline(cfg).process(f, bounds=b, crop=True))
+        x0, x1 = round(0.25 * ow), round(1.0 * ow)
+        y0, y1 = round(0.125 * oh), round(0.875 * oh)
+        assert np.array_equal(crop, full[y0:y1, x0:x1])
+
+    def test_crop_flipped_v(self):
+        # OpenGL-convention games submit vMin > vMax; same rectangle
+        cfg = Config(enabled=True, render_scale=1.0)
+        f = FR.gradient_frame(20, 20)
+        a = np.asarray(Pipeline(cfg).process(f, bounds=(0, 0.9, 1, 0.1),
+                                             crop=True))
+        b = np.asarray(Pipeline(cfg).process(f, bounds=(0, 0.1, 1, 0.9),
+                                             crop=True))
+        assert np.array_equal(a, b)
+
+    def test_upscale_passthrough(self):
+        from openvr_fsr_tpu.api.pipeline import upscale
+
+        f = FR.gradient_frame(24, 24)
+        out = upscale(f, render_scale=0.75, bounds=(0, 0, 1, 1), crop=True)
+        assert out.shape[:2] == (32, 32)
