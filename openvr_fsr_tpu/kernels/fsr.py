@@ -55,15 +55,21 @@ F32 = np.float32
 
 # dy row-block order inside the stacked one-hot row-gather matrix.
 _DYS = (-1, 0, 1, 2)
-_DX_FULL = (0, 1)      # dx needing all 4 dy blocks (8 of the 12 taps)
-_DX_MID = (-1, 2)      # dx needing only dy in {0, 1} (the other 4)
+_DXS = (-1, 0, 1, 2)   # dx column-block order in the stacked col one-hot
 
 _CHUNK = 128           # default output-column chunk width (lane multiple)
 
 _FORCE_HIGHEST = False  # debug: force f32 HIGHEST-precision matmul-gathers
 _SKIP_STAGE1 = False    # debug/profiling: skip the EASU/bilinear chunk loop
 _SKIP_RCAS = False      # debug/profiling: write quantized stage-1 directly
+_SKIP_EPILOGUE = False  # debug/profiling: write a constant (isolates DMA)
 _NO_GATING = False      # debug/profiling: drop pl.when chunk gating
+# Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
+# Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
+# radius 0.5, tools/ab_fsr.py): the extra pl.when regions and code
+# duplication cost more than the skipped RCAS work. Kept for re-evaluation
+# on other chips.
+_EPI_SPECIALIZE = False
 
 
 def _round_up(x, m):
@@ -118,8 +124,22 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
       10-bit: img is (B, 3, in_h, in_w) float32 integer texels, result
         (B, 3, out_h, out_w) float32 in [0, 1] (the original planar path).
     """
+    # snapshot the module-level debug knobs at *build* time (pallas_call
+    # traces lazily at first call, after a caller may have restored them)
+    _SKIP_STAGE1 = globals()["_SKIP_STAGE1"]
+    _SKIP_RCAS = globals()["_SKIP_RCAS"]
+    _SKIP_EPILOGUE = globals()["_SKIP_EPILOGUE"]
+    _NO_GATING = globals()["_NO_GATING"]
+    _EPI_SPECIALIZE = globals()["_EPI_SPECIALIZE"]
+    _FORCE_HIGHEST = globals()["_FORCE_HIGHEST"]
+
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
+    # Auto-shrink the band for very wide frames (8K): the band scratches
+    # scale with band_rows * padded-out-width, and VMEM is 128 MB on v5e.
+    OWP_EST = _round_up(OW, int(chunk))
+    while band_rows > 32 and 10 * (int(band_rows) + 2) * OWP_EST * 4 > 24 * 2**20:
+        band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
     TH_E = TH + 2
     GY = -(-OH // TH)
@@ -214,12 +234,22 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
 
     # The gather one-hots are fully static — build them on the host.
-    # Rows: per band, blocks [dy=-1,0,1,2, bilin y0, bilin y1] -> (GY, 6*TH_E, IH)
+    # v3 layout: every row block is padded to TP (= TH_E rounded up to the
+    # 8-sublane tile) so the per-tap output slices land vreg-aligned, and
+    # the row gather runs ONCE per band per channel (6 blocks stacked) into
+    # a G scratch; per chunk a single matmul against the stacked column
+    # one-hot then produces ALL tap combinations at once.
+    TP = _round_up(TH_E, 8)
+    N_EASU = 4 * TP          # dy in _DYS
+    N_BIL = 2 * TP           # bilinear y0, y1
+    N_ROW = N_EASU + N_BIL
     iota_ih_np = np.arange(IH)[None, :]
-    def _row_oh(rows, band):  # rows: (TH_E,) global
+    def _row_oh(rows, band):  # rows: (TH_E,) global -> (TP, IH) padded
         loc = np.clip(rows, 0, H - 1) - oy_all[band]
-        return (loc[:, None] == iota_ih_np)
-    rstack = np.zeros((GY, 6 * TH_E, IH), np.float32)
+        oh = np.zeros((TP, IH), np.float32)
+        oh[:TH_E] = (loc[:, None] == iota_ih_np)
+        return oh
+    rstack = np.zeros((GY, N_ROW, IH), np.float32)
     for i in range(GY):
         blocks = [_row_oh(fyi_e[i] + dy, i) for dy in _DYS]
         blocks += [_row_oh(by0_e[i], i), _row_oh(by0_e[i] + 1, i)]
@@ -240,9 +270,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             (((1,), (0,)), ((), ())),
             precision=mm_prec, preferred_element_type=jnp.float32)
 
+    def _mm2(a, b):  # operands already mm_dtype (G scratch / col one-hots)
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r,
-               out_ref, inbuf, s_easu, s_bilx, sems):
+               out_ref, inbuf, g_rows, s_easu, s_bilx, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -280,60 +315,67 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 ).astype(jnp.bfloat16),
             ]
 
-            def inp(c, w0):  # (IH, KC) integer-texel window of channel c
-                return chans[c][:, w0:w0 + KC]
+            def inp_full(c):  # (IH, WP) integer texels of channel c
+                return chans[c]
         else:
             band = inbuf[slot]  # (3, IH, WP) integer texels
 
-            def inp(c, w0):
-                return band[c, :, w0:w0 + KC]
+            def inp_full(c):
+                return band[c]
 
         ppy_t = ppy_r[0]          # (TH_E, 1) f32
-        r_easu = rst_r[0, :4 * TH_E]   # (4*TH_E, IH) one-hot row gather
-        r_bil = rst_r[0, 4 * TH_E:]    # (2*TH_E, IH)
 
         # foveation/validity state is a precomputed host input:
         # mst_r[0, 0] is (TH_E, OWP) i8 — 0 outside, 1 inside, 2 invalid
 
         one = F32(1.0)
 
-        # ---- chunk loop: gather matmuls (+ per-chunk EASU core) -------------
-        # All cheap MXU work and the gated heavy EASU math happen per 128-col
-        # chunk; everything elementwise that can run band-wide runs after the
-        # loop on (3, TH_E, OWP) arrays where VPU op overheads amortize.
+        # ---- band prologue: ONE row-gather matmul per channel ---------------
+        # (816, IH) one-hot x (IH, WP) texels -> all 6 row blocks (4 EASU dy
+        # + 2 bilinear) for the whole band width, stored as mm_dtype so the
+        # per-chunk column matmuls consume it directly. Texels are integers
+        # <= cmax, so the bf16 round-trip is exact (8-bit path).
+        r_all = rst_r[0]                                # (N_ROW, IH)
+        for c in range(3):
+            g = _mm(r_all, inp_full(c))                 # (N_ROW, WP) f32
+            g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
+
+        # ---- chunk loop: one column matmul per path + per-chunk EASU core ---
+        # The (3ch x 4dy)-stacked rows against the (4dx)-stacked column
+        # one-hot yield all 16 (dy,dx) combinations in ONE matmul; the 12
+        # EASU taps are vreg-aligned slices of it (TP and CHUNK multiples).
+        # Keeping the EASU math per 128-column chunk is deliberate: at
+        # (TH_E, 128) the intermediates stay register-resident (measured 2x
+        # faster than band-wide (TH_E, OWP) arrays, tools/microbench2.py).
+        dyi = {dy: j for j, dy in enumerate(_DYS)}
+
         def _easu_chunk(k, c0, w0, ppx_c):
-            s_cols = {dx: sst_r[k, :, (dx + 1) * CHUNK:(dx + 2) * CHUNK]
-                      for dx in (-1, 0, 1, 2)}
+            s_e = sst_r[k, :, :4 * CHUNK]               # (KC, 4*CHUNK)
             taps = {}
             for c in range(3):
-                g = _mm(r_easu, inp(c, w0))             # (4*TH_E, KC) f32
-                for dx in _DX_FULL:
-                    t = _mm(g, s_cols[dx])
-                    for kk, dy in enumerate(_DYS):
-                        if (dx, dy) in TAP_ORDER:
-                            taps.setdefault((dx, dy), []).append(
-                                t[kk * TH_E:(kk + 1) * TH_E])
-                gmid = g[TH_E:3 * TH_E]
-                for dx in _DX_MID:
-                    t = _mm(gmid, s_cols[dx])
-                    for kk, dy in enumerate((0, 1)):
-                        if (dx, dy) in TAP_ORDER:
-                            taps.setdefault((dx, dy), []).append(
-                                t[kk * TH_E:(kk + 1) * TH_E])
+                ge = g_rows[c * N_ROW:c * N_ROW + N_EASU, w0:w0 + KC]
+                t = _mm2(ge, s_e)                       # (4*TP, 4*CHUNK) f32
+                for (dx, dy) in TAP_ORDER:
+                    taps.setdefault((dx, dy), []).append(
+                        t[dyi[dy] * TP:dyi[dy] * TP + TH_E,
+                          (dx + 1) * CHUNK:(dx + 2) * CHUNK])
             taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
             s_easu[:, :, c0:c0 + CHUNK] = easu_core(
                 taps, ppx_c, ppy_t, dt=core_dt).astype(jnp.float32)
 
         def _bil_chunk(k, c0, w0):
-            sb0 = sst_r[k, :, 4 * CHUNK:5 * CHUNK]
-            sb1 = sst_r[k, :, 5 * CHUNK:]
+            s_b = sst_r[k, :, 4 * CHUNK:]               # (KC, 2*CHUNK)
             fxc = fbx_r[k]                              # (1, CHUNK)
             for c in range(3):
-                gb = _mm(r_bil, inp(c, w0))             # (2*TH_E, KC) f32
-                t0 = _mm(gb, sb0) * inv_cmax
-                t1 = _mm(gb, sb1) * inv_cmax
+                gb = g_rows[c * N_ROW + N_EASU:(c + 1) * N_ROW, w0:w0 + KC]
+                t = _mm2(gb, s_b)                       # (2*TP, 2*CHUNK) f32
                 # x-lerp now (ops are small either way); y-lerp band-wide
-                s_bilx[c, :, c0:c0 + CHUNK] = t0 * (one - fxc) + t1 * fxc
+                for yb in range(2):                     # y0 and y1 rows
+                    ty = t[yb * TP:yb * TP + TH_E]
+                    t0 = ty[:, :CHUNK] * inv_cmax
+                    t1 = ty[:, CHUNK:] * inv_cmax
+                    s_bilx[c, yb * TH_E:(yb + 1) * TH_E, c0:c0 + CHUNK] = \
+                        t0 * (one - fxc) + t1 * fxc
 
         def _chunk_loop(mode):
             # mode: "bil" (band fully outside the circle), "easu" (fully
@@ -366,42 +408,81 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             pl.when(bcls == 0)(lambda: _chunk_loop("bil"))
             pl.when(bcls != 0)(lambda: _chunk_loop("both"))
 
-        # ---- band-wide epilogue: y-lerp, foveated select, UNORM, RCAS -------
-        ms = mst_r[0, 0].astype(jnp.int32)                  # (TH_E, OWP)
-        fy = fby_r[0]                                       # (TH_E, 1)
-        bil = s_bilx[:, :TH_E] * (one - fy) + s_bilx[:, TH_E:] * fy
-        stage1 = jnp.where((ms == 1)[None], s_easu[:], bil)
-        # UNORM round-trip between the two dispatches (PostProcessor.cpp:527)
-        q = jnp.round(jnp.clip(stage1, F32(0.0), F32(1.0)) * cmax)
-        qv = jnp.where((ms != 2)[None], q, F32(0.0)) * inv_cmax
-
-        if _SKIP_RCAS:
-            out_ref[0] = qv[:, 1:1 + TH, :OW]
+        if _SKIP_EPILOGUE:  # profiling only: constant write, DMA still runs
+            if packed_io:
+                out_ref[0] = (inbuf[slot, :TH, :OW]
+                              if IH >= TH and WP >= OW else
+                              jnp.zeros((TH, OW), jnp.uint32))
+            else:
+                out_ref[0] = jnp.zeros((3, TH, OW), jnp.float32)
             return
 
-        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
-        qx = jnp.concatenate([padl, qv, padl], axis=2)  # Load() OOB -> zero
-        e = qx[:, 1:1 + TH, 1:1 + OWP]
-        sh = rcas_core(
-            qx[:, 0:TH, 1:1 + OWP], qx[:, 1:1 + TH, 0:OWP], e,
-            qx[:, 1:1 + TH, 2:2 + OWP], qx[:, 2:2 + TH, 1:1 + OWP],
-            sharp_lin, dt=core_dt).astype(jnp.float32)
-        m_in = (ms[1:1 + TH] == 1)[None]
-        if tint is not None:
-            fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+        # ---- band epilogue: y-lerp, foveated select, UNORM, RCAS ------------
+        # Specialized per band class: fully-outside bands never run RCAS
+        # (the reference wrapper only copies/tints outside the circle,
+        # fsr_rcas.hlsl:44-47), fully-inside bands skip the bilinear lerp
+        # and the foveation select. Exactly one branch writes out_ref.
+        def _store(res):
+            if packed_io:
+                # final UNORM store (from_planar semantics: clip, *255, RNE)
+                q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
+                               ).astype(jnp.int32)
+                packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                          + jax.lax.shift_left(q8[2], 16)
+                          + jnp.int32(-16777216))      # alpha 255 << 24
+                out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+            else:
+                out_ref[0] = res[:, :, :OW]
+
+        def _epilogue(mode):
+            ms = mst_r[0, 0].astype(jnp.int32)              # (TH_E, OWP)
+            if mode == "bil":
+                stage1 = (s_bilx[:, :TH_E] * (one - fby_r[0])
+                          + s_bilx[:, TH_E:] * fby_r[0])
+            elif mode == "easu":
+                stage1 = s_easu[:]
+            else:
+                bil = (s_bilx[:, :TH_E] * (one - fby_r[0])
+                       + s_bilx[:, TH_E:] * fby_r[0])
+                stage1 = jnp.where((ms == 1)[None], s_easu[:], bil)
+            # UNORM round-trip between the dispatches (PostProcessor.cpp:527)
+            q = jnp.round(jnp.clip(stage1, F32(0.0), F32(1.0)) * cmax)
+            qv = jnp.where((ms != 2)[None], q, F32(0.0)) * inv_cmax
+
+            if mode == "bil":
+                # whole band outside the circle: RCAS never runs, only the
+                # pass-through (+ optional debug tint)
+                e = qv[:, 1:1 + TH]
+                if tint is not None:
+                    e = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+                _store(e)
+                return
+            padl = jnp.zeros((3, TH_E, 1), jnp.float32)
+            qx = jnp.concatenate([padl, qv, padl], axis=2)  # Load() OOB -> 0
+            e = qx[:, 1:1 + TH, 1:1 + OWP]
+            if _SKIP_RCAS:  # profiling only
+                sh = e
+            else:
+                sh = rcas_core(
+                    qx[:, 0:TH, 1:1 + OWP], qx[:, 1:1 + TH, 0:OWP], e,
+                    qx[:, 1:1 + TH, 2:2 + OWP], qx[:, 2:2 + TH, 1:1 + OWP],
+                    sharp_lin, dt=core_dt).astype(jnp.float32)
+            # state-2 (out-of-image) pixels must not show sharpened values;
+            # in "easu" bands every in-image pixel is inside the circle
+            m_in = (ms[1:1 + TH] == 1)[None]
+            if tint is not None:
+                fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+            else:
+                fb = e
+            _store(jnp.where(m_in, sh, fb))
+
+        if _NO_GATING or not _EPI_SPECIALIZE:
+            _epilogue("both")
         else:
-            fb = e
-        res = jnp.where(m_in, sh, fb)
-        if packed_io:
-            # final UNORM store (from_planar semantics: clip, *255, RNE)
-            q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                      + jax.lax.shift_left(q8[2], 16)
-                      + jnp.int32(-16777216))          # alpha 255 << 24
-            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
-        else:
-            out_ref[0] = res[:, :, :OW]
+            bcls2 = bcls_ref[step]
+            pl.when(bcls2 == 0)(lambda: _epilogue("bil"))
+            pl.when(bcls2 == 1)(lambda: _epilogue("both"))
+            pl.when(bcls2 == 2)(lambda: _epilogue("easu"))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -409,7 +490,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
             pl.BlockSpec((1, 1, TH_E, OWP), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, 6 * TH_E, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, N_ROW, IH), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, KC, 6 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
@@ -422,6 +503,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         scratch_shapes=[
             (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
              else pltpu.VMEM((2, 3, IH, WP), jnp.float32)),
+            pltpu.VMEM((3 * N_ROW, WP), mm_dtype),        # row-gathered G
             pltpu.VMEM((3, TH_E, OWP), jnp.float32),      # EASU band
             pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32),  # bilinear x-lerped
             pltpu.SemaphoreType.DMA((2,)),

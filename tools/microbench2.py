@@ -35,21 +35,27 @@ def main():
     imgs = [jax.device_put(
         rng.integers(0, 2**32, (B, H_IN, WP), dtype=np.uint32))
         for _ in range(3)]
-    ppx = jax.device_put(rng.random((1, OWP), np.float32))
-    ppy = jax.device_put(rng.random((TH_E, 1), np.float32))
+    def make_pp(w):   # trace-time fractional coords from iota (no consts)
+        import jax
+        import jax.numpy as jnp
+        px = (jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+              .astype(jnp.float32) * np.float32(0.37)) % np.float32(1.0)
+        py = (jax.lax.broadcasted_iota(jnp.int32, (TH_E, 1), 0)
+              .astype(jnp.float32) * np.float32(0.29)) % np.float32(1.0)
+        return px, py
     oh_rows = jax.device_put(  # fake one-hot-ish row matrix
         rng.random((520, IH), np.float32).astype(jnp.bfloat16))
     oh_cols = jax.device_put(
         rng.random((100, 256), np.float32).astype(jnp.bfloat16))
 
-    def bench(fn, *args, iters=30):
-        y = fn(*args)
+    def bench(fn, extra=(), iters=30):
+        y = fn(imgs[0], *extra)
         _ = np.asarray(y[0, 0, 0])
 
         def run(n):
             t0 = time.perf_counter()
             for i in range(n):
-                y = fn(*args)
+                y = fn(imgs[i % 3], *extra)
             _ = np.asarray(jnp.sum(y[:, ::373, ::373]))
             return (time.perf_counter() - t0) / n * 1000.0
         run(3)
@@ -128,8 +134,9 @@ def main():
         for k in range(18):
             c0 = k * 128
             taps = fake_taps_chunk(base, c0)
+            cpx, cpy = make_pp(128)
             s_easu[:, :, c0:c0 + 128] = easu_core(
-                taps, ppx[:, c0:c0 + 128], ppy).astype(jnp.float32)
+                taps, cpx, cpy).astype(jnp.float32)
         store_u32(out_ref, s_easu[:, 1:1 + TH])
 
     fa = skeleton(body_a, extra_scratch=[
@@ -145,34 +152,56 @@ def main():
         base = jnp.concatenate([base, base[:, :, :OWP - WP]], axis=2)
         taps = {off: base * F32(1.0 + 0.001 * i)
                 for i, off in enumerate(TAP_ORDER)}
-        s_easu[:] = easu_core(taps, ppx, ppy).astype(jnp.float32)
+        bpx, bpy = make_pp(OWP)
+        s_easu[:] = easu_core(taps, bpx, bpy).astype(jnp.float32)
         store_u32(out_ref, s_easu[:, 1:1 + TH])
 
     fb = skeleton(body_b, extra_scratch=[
         pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
 
-    # --- C: matmul issue rate --------------------------------------------
-    def make_mm(n_mm):
-        def body(band, ins, out_ref, scratch):
-            rowoh, coloh = ins
-            acc = scratch[0]
-            g = jax.lax.dot_general(
-                rowoh[...], band[:IH].astype(jnp.bfloat16)[:, :100],
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)  # (520,100)... wait
-            gb = g.astype(jnp.bfloat16)
-            for k in range(n_mm):
-                t = jax.lax.dot_general(
-                    gb, coloh[...], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)   # (520,256)
-                acc[:, k % 4 * 256:(k % 4) * 256 + 256] += t[:TH_E * 4:4]
-            res = jnp.broadcast_to(acc[None, :TH_E],
-                                   (3, TH_E, 1024))
-            res = jnp.concatenate([res, res[:, :, :OWP - 1024]], 2)
-            store_u32(out_ref, res[:, 1:1 + TH] * F32(1e-6))
-        return skeleton(body, extra_scratch=[
-            pltpu.VMEM((TH_E * 4, 1024), jnp.float32)],
-            extra_in=(oh_rows, oh_cols))
+    # --- C: phase-stencil building blocks ---------------------------------
+    def body_strided(band, _ins, out_ref, scratch):
+        s = scratch[0]
+        raw = band.astype(jnp.int32)
+        # lane stride-3 split via reshape: 3 col-phase planes (IH, 576)
+        r3 = raw[:, :3 * 576].reshape(IH, 576, 3)
+        planes = [r3[:, :, r] for r in range(3)]
+        # sublane stride-3 split of each via reshape
+        rows = [p[:108].reshape(36, 3, 576)[:, s0] for p in planes
+                for s0 in range(3)]
+        acc = rows[0]
+        for r in rows[1:]:
+            acc = acc + r
+        a8 = acc[:8]
+        t = jnp.broadcast_to(a8[None], (TH // 8, 8, 576)).reshape(TH, 576)
+        out_ref[0] = jnp.concatenate(
+            [t, t, t, t], axis=1).astype(jnp.uint32)
+
+    fstrided = skeleton(body_strided, extra_scratch=[
+        pltpu.VMEM((TH, 576), jnp.float32)])
+
+    def body_phase_easu(band, _ins, out_ref, scratch):
+        s_out = scratch[0]   # (4, TH//4 pad 32, 4*576)
+        raw = band.astype(jnp.int32)
+        base = (raw[:32, :576] & 255).astype(jnp.float32) * F32(1 / 255)
+        for p in range(4):
+            for q in range(4):
+                taps = {off: base[None] * F32(1.0 + 0.001 * i)
+                        for i, off in enumerate(TAP_ORDER)}
+                taps = {k: jnp.broadcast_to(v, (3, 32, 576))
+                        for k, v in taps.items()}
+                ppx_q = F32(0.875 - 0.25 * q)
+                ppy_p = F32(0.875 - 0.25 * p)
+                r = easu_core(taps, ppx_q, ppy_p)
+                s_out[p, :, q * 576:(q + 1) * 576] = r[1]
+        # fold phases back with a cheap broadcast store (interleave timed
+        # separately in case E)
+        t = jnp.broadcast_to(s_out[0][:8][None],
+                             (TH // 8, 8, 4 * 576)).reshape(TH, OWP)
+        store_u32(out_ref, jnp.broadcast_to(t[None], (3, TH, OWP)))
+
+    fphase = skeleton(body_phase_easu, extra_scratch=[
+        pltpu.VMEM((4, 32, 4 * 576), jnp.float32)])
 
     # --- D: roll vs concat 5-tap cross -----------------------------------
     def body_roll(band, _ins, out_ref, scratch):
@@ -187,7 +216,7 @@ def main():
         bq = s[:, 0:TH]
         hq = s[:, 2:2 + TH]
         d = pltpu.roll(e, 1, 2)
-        f = pltpu.roll(e, -1, 2)
+        f = pltpu.roll(e, OWP - 1, 2)
         res = (bq + hq + d + f) * F32(0.25) + e * F32(0.5)
         store_u32(out_ref, res * F32(0.5))
 
@@ -223,15 +252,8 @@ def main():
 
     finter = skeleton(body_inter)
 
-    print("easu_core per-chunk (18x (3,130,128)): "
-          f"{bench(fa):7.3f} ms", flush=True)
-    print("easu_core band-wide ((3,130,2304)):    "
-          f"{bench(fb):7.3f} ms", flush=True)
-    for n in (9, 36, 72):
-        fmm = make_mm(n)
-        ms = bench(lambda x, f=fmm: f(x, oh_rows, oh_cols))
-        print(f"{n:3d} col-matmuls/band (520,100)@(100,256): {ms:7.3f} ms",
-              flush=True)
+
+
     print(f"5-tap cross via pltpu.roll:  {bench(froll):7.3f} ms", flush=True)
     print(f"5-tap cross via concat+slice:{bench(fconcat):7.3f} ms",
           flush=True)
