@@ -117,12 +117,21 @@ class TestFusedFsrKernel:
         d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
         assert (d <= 2).mean() >= 0.95 and d.max() <= 32
 
-    def test_10bit_r10g10b10a2(self):
-        """10-bit texels exceed bf16 integer range -> f32 HIGHEST matmuls."""
+    @pytest.mark.parametrize("rs,use_nis", [
+        (0.75, False),   # fused EASU+RCAS
+        (1.0, False),    # RCAS-only (kernels/rcas.py planar-f32 branch)
+        (0.75, True),    # NVScaler (kernels/nis.py upscale builder)
+        (1.0, True),     # NVSharpen (kernels/nis.py sharpen builder)
+    ])
+    def test_10bit_r10g10b10a2(self, rs, use_nis):
+        """10-bit texels exceed bf16 integer range -> f32 HIGHEST matmuls /
+        planar-f32 IO in every kernel builder (R10G10B10A2 passthrough,
+        PostProcessor.cpp:527, 63-74)."""
         rng = np.random.default_rng(5)
         frames = rng.integers(0, 1024, (2, 64, 72, 4), dtype=np.uint16)
         frames[..., 3] = 3
-        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.9, radius=0.5,
+                     use_nis=use_nis)
         ref = Pipeline(cfg, backend="xla", color_bits=10).process(
             frames, eyes=(0, 1))
         got = Pipeline(cfg, backend=_backend(), color_bits=10).process(
