@@ -1,0 +1,78 @@
+"""Stretch config bench (BASELINE.json #5): batch 8K video upscale.
+
+Production shape: batch=32 8K (7680x4320) frames sharded over a v5p-8 —
+4 frames per chip, rs 0.75 (5760x3240 -> 7680x4320), FSR fused EASU+RCAS.
+On this single-chip environment we run the per-chip local batch (default 4,
+override with --local-batch N) and report per-frame time and Mpix/s; the
+8-way sharded mechanism itself is validated by tests/test_sharding.py and
+__graft_entry__.dryrun_multichip on a virtual mesh (frames are independent,
+so chips never communicate and per-chip time IS the sharded per-chip time).
+
+Writes BENCH_8K.json with one JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openvr_fsr_tpu import Config, Pipeline
+
+    local_b = 4
+    if "--local-batch" in sys.argv:
+        local_b = int(sys.argv[sys.argv.index("--local-batch") + 1])
+    h_in, w_in = 3240, 5760         # 8K target at renderScale 0.75
+    cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=2.0)
+    pipe = Pipeline(cfg)
+
+    rng = np.random.default_rng(0)
+    fn = pipe._build(local_b, h_in, w_in, tuple(i % 2 for i in range(local_b)))
+    inputs = [jax.device_put(
+        rng.integers(0, 256, (local_b, h_in, w_in, 4)).astype(np.uint8))
+        for _ in range(2)]
+
+    out = fn(inputs[0])
+    _ = np.asarray(out[0, 0, 0])
+    print(f"[bench8k] backend={jax.default_backend()} out={out.shape} "
+          f"local_b={local_b}", file=sys.stderr)
+
+    def run(iters):
+        t0 = time.perf_counter()
+        y = None
+        for i in range(iters):
+            y = fn(inputs[i % 2])
+        _ = np.asarray(jnp.sum(y[:, ::973, ::973]))
+        return (time.perf_counter() - t0) / iters * 1000.0
+
+    run(3)
+    per_launch_ms = min(run(10) for _ in range(3))
+    per_frame_ms = per_launch_ms / local_b
+    mpix = 7680 * 4320 / 1e6
+    mpix_s = mpix / (per_frame_ms / 1000.0)
+    fleet_fps = 8 * 1000.0 / per_frame_ms  # batch=32 over 8 chips
+
+    print(f"[bench8k] {per_frame_ms:.3f} ms/frame ({mpix_s:.0f} Mpix/s/chip; "
+          f"batch=32 on 8 chips -> {fleet_fps:.0f} fps)", file=sys.stderr)
+    line = {
+        "metric": "fsr_8k_7680x4320_rs075_ms_per_frame",
+        "value": round(per_frame_ms, 4),
+        "unit": "ms",
+        "mpix_per_s_per_chip": round(mpix_s, 1),
+        "local_batch": local_b,
+        "sharded_equiv_fps_batch32_8chips": round(fleet_fps, 1),
+    }
+    print(json.dumps(line))
+    with open("BENCH_8K.json", "w") as f:
+        json.dump(line, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
