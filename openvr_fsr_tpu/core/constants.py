@@ -179,6 +179,7 @@ class NisConfig:
     reserved0: np.float32 = F32(0.0)
     reserved1: np.float32 = F32(0.0)  # debug-tint flag in the fork
     valid: bool = True  # return value of NVScalerUpdateConfig
+    hdr_mode: int = 0   # NIS_HDR_MODE: 0 none, 1 linear, 2 PQ (NIS_Scaler.h:112-116)
 
 
 def nvscaler_update_config(sharpness,
@@ -194,6 +195,7 @@ def nvscaler_update_config(sharpness,
     (PostProcessor.cpp:308).
     """
     c = NisConfig()
+    c.hdr_mode = int(hdr_mode)
     sharpness = max(min(1.0, float(sharpness)), 0.0)
     slider = F32(sharpness) - F32(0.5)  # map 0..1 -> -0.5..+0.5
 

@@ -1,4 +1,4 @@
-"""NVIDIA Image Scaling on XLA (NVScaler + NVSharpen, SDR fp32 path).
+"""NVIDIA Image Scaling on XLA (NVScaler + NVSharpen; SDR + both HDR modes).
 
 Line-faithful port of src/nis/NIS_Scaler.h (see oracle/nis.py for the
 shared-memory -> clamped-plane derivation). All source positions, filter
@@ -14,14 +14,27 @@ from .bilinear import bilinear_sample_jax
 from ..core.constants import NisConfig
 from ..core.nis_tables import COEF_SCALE, COEF_USM
 
-__all__ = ["nvscaler_jax", "nvsharpen_jax", "get_y_jax", "nis_source_maps"]
+__all__ = ["nvscaler_jax", "nvsharpen_jax", "get_y_jax", "get_y_linear_jax",
+           "nis_source_maps", "KHDR_COMPRESSION"]
 
 NIS_SCALE_FLOAT = F32(255.0)
+KHDR_COMPRESSION = F32(0.282842712)  # kHDRCompressionFactor (NIS_Scaler.h:118)
 
 
-def get_y_jax(rgb):
-    """getY, SDR (NIS_Scaler.h:167)."""
+def get_y_linear_jax(rgb):
+    """getYLinear (NIS_Scaler.h:171-174) — BT.709 luma."""
     return (F32(0.2126) * rgb[0] + F32(0.7152) * rgb[1] + F32(0.0722) * rgb[2])
+
+
+def get_y_jax(rgb, hdr_mode=0):
+    """getY (NIS_Scaler.h:160-169): SDR BT.709; HDR linear =
+    sqrt(luma)*kHDRCompressionFactor; HDR PQ = Rec.2020 luma weights."""
+    if hdr_mode == 2:   # NIS_HDR_MODE_PQ
+        return (F32(0.262) * rgb[0] + F32(0.678) * rgb[1]
+                + F32(0.0593) * rgb[2])
+    if hdr_mode == 1:   # NIS_HDR_MODE_LINEAR
+        return jnp.sqrt(get_y_linear_jax(rgb)) * KHDR_COMPRESSION
+    return get_y_linear_jax(rgb)
 
 
 def _take2(plane, ys, xs):
@@ -172,7 +185,7 @@ def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None,
     emap: optional precomputed edge_map_plane_jax(y01) (shared across
     sub-grid calls)."""
     _, h, w = rgba.shape
-    y01 = get_y_jax(rgba)
+    y01 = get_y_jax(rgba, cfg.hdr_mode)
     ys255 = y01 * NIS_SCALE_FLOAT
     if emap is None:
         emap = edge_map_plane_jax(y01, cfg)
@@ -261,7 +274,17 @@ def nvscaler_jax(rgba, out_w, out_h, cfg: NisConfig, rows=None, cols=None,
             ) * F32(1.0 / 255.0)
 
     op = bilinear_sample_jax(rgba, u_full, v_full)
-    corr = op_y * F32(1.0 / 255.0) - get_y_jax(op)
+    if cfg.hdr_mode == 1:   # NIS_HDR_MODE_LINEAR: multiplicative luma fix
+        # (NIS_Scaler.h:749-756)
+        k_eps = F32(1e-4)
+        k_norm = np.divide(F32(1.0), NIS_SCALE_FLOAT * KHDR_COMPRESSION,
+                           dtype=np.float32)
+        op_yn = jnp.maximum(op_y, F32(0.0)) * k_norm
+        corr = (op_yn * op_yn + k_eps) / (
+            jnp.maximum(get_y_linear_jax(op), F32(0.0)) + k_eps)
+        return jnp.concatenate([op[:3] * corr[None], op[3:4]], axis=0)
+    # SDR and PQ: additive luma correction (:758-761)
+    corr = op_y * F32(1.0 / 255.0) - get_y_jax(op, cfg.hdr_mode)
     return jnp.concatenate([op[:3] + corr[None], op[3:4]], axis=0)
 
 
@@ -290,7 +313,7 @@ def _eval_usm_jax(pxl5, strength, limit, cfg, dt=F32):
 def nvsharpen_jax(rgba, cfg: NisConfig):
     """rgba: (4, H, W) f32 in [0,1]. Returns (4, H, W) f32."""
     _, h, w = rgba.shape
-    y01 = get_y_jax(rgba)
+    y01 = get_y_jax(rgba, cfg.hdr_mode)
     ys = np.arange(h)
     xs = np.arange(w)
     p = [[_take2(y01, np.clip(ys + i - 2, 0, h - 1), np.clip(xs + j - 2, 0, w - 1))
@@ -313,4 +336,10 @@ def nvsharpen_jax(rgba, cfg: NisConfig):
     pc = {(i, j): p[i + 1][j + 1] for i in range(3) for j in range(3)}
     wgt = _edge_weights_jax(*_edge_grads(pc), cfg)
     usm_y = d0 * wgt[0] + d90 * wgt[1] + d45 * wgt[2] + d135 * wgt[3]
+    if cfg.hdr_mode == 1:   # NIS_HDR_MODE_LINEAR (NIS_Scaler.h:951-959)
+        k_eps = F32(1e-4) * KHDR_COMPRESSION * KHDR_COMPRESSION
+        new_y = jnp.maximum(p[2][2] + usm_y, F32(0.0))
+        old_y = p[2][2]
+        corr = (new_y * new_y + k_eps) / (old_y * old_y + k_eps)
+        return jnp.concatenate([rgba[:3] * corr[None], rgba[3:4]], axis=0)
     return jnp.concatenate([rgba[:3] + usm_y[None], rgba[3:4]], axis=0)

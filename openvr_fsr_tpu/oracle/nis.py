@@ -1,8 +1,10 @@
 """NumPy golden reference for NVIDIA Image Scaling (NVScaler + NVSharpen).
 
-Literal float32 port of src/nis/NIS_Scaler.h (SDR path, NIS_HDR_MODE=0,
-NIS_USE_HALF_PRECISION=0 — the configuration the reference mod ships,
-NIS_Upscale.hlsl:22-26 / NIS_Sharpen.hlsl:22-26), vectorized per output pixel.
+Literal float32 port of src/nis/NIS_Scaler.h (NIS_USE_HALF_PRECISION=0),
+vectorized per output pixel. The reference mod ships the SDR build
+(NIS_HDR_MODE=0, NIS_Upscale.hlsl:22-26 / NIS_Sharpen.hlsl:22-26); this
+oracle also covers NIS_HDR_MODE_LINEAR/_PQ (NIS_Scaler.h:112-116, selected
+via NisConfig.hdr_mode) for library parity with upstream NIS.
 
 Cooperative shared-memory staging in the HLSL becomes direct indexed reads of
 a clamped luma plane: shPixelsY[local] holds the linear-clamp-sampled luma at
@@ -22,16 +24,30 @@ from .bilinear import bilinear_sample
 from ..core.constants import NisConfig
 from ..core.nis_tables import COEF_SCALE, COEF_USM
 
-__all__ = ["nvscaler_oracle", "nvsharpen_oracle", "get_y", "edge_map_plane"]
+__all__ = ["nvscaler_oracle", "nvsharpen_oracle", "get_y", "get_y_linear",
+           "edge_map_plane", "KHDR_COMPRESSION"]
 
 NIS_SCALE_FLOAT = F32(255.0)
+KHDR_COMPRESSION = F32(0.282842712)  # kHDRCompressionFactor (NIS_Scaler.h:118)
 
 
-def get_y(rgb):
-    """getY, SDR mode (NIS_Scaler.h:160-169)."""
+def get_y_linear(rgb):
+    """getYLinear (NIS_Scaler.h:171-174) — BT.709 luma."""
     rgb = np.asarray(rgb, np.float32)
     return (F32(0.2126) * rgb[..., 0] + F32(0.7152) * rgb[..., 1]
             + F32(0.0722) * rgb[..., 2])
+
+
+def get_y(rgb, hdr_mode=0):
+    """getY (NIS_Scaler.h:160-169): SDR BT.709; HDR linear =
+    sqrt(luma)*kHDRCompressionFactor; HDR PQ = Rec.2020 luma weights."""
+    rgb = np.asarray(rgb, np.float32)
+    if hdr_mode == 2:   # NIS_HDR_MODE_PQ
+        return (F32(0.262) * rgb[..., 0] + F32(0.678) * rgb[..., 1]
+                + F32(0.0593) * rgb[..., 2])
+    if hdr_mode == 1:   # NIS_HDR_MODE_LINEAR
+        return np.sqrt(get_y_linear(rgb), dtype=np.float32) * KHDR_COMPRESSION
+    return get_y_linear(rgb)
 
 
 def _clamped_take(plane, ys, xs):
@@ -206,7 +222,7 @@ def nvscaler_oracle(img, out_w, out_h, cfg: NisConfig):
     img = np.asarray(img, np.float32)
     if img.shape[-1] == 3:
         img = np.concatenate([img, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1)
-    y01 = get_y(img)                       # unscaled luma (edge maps)
+    y01 = get_y(img, cfg.hdr_mode)         # unscaled luma (edge maps)
     ys = (y01 * NIS_SCALE_FLOAT).astype(np.float32)  # scaled luma (filters)
     emap = edge_map_plane(y01, cfg)
 
@@ -244,11 +260,23 @@ def nvscaler_oracle(img, out_w, out_h, cfg: NisConfig):
     u = ((dstx + F32(0.5)) * cfg.kDstNormX)[None, :] * np.ones((out_h, 1), np.float32)
     v = ((dsty + F32(0.5)) * cfg.kDstNormY)[:, None] * np.ones((1, out_w), np.float32)
     op = bilinear_sample(img, u, v)
-    corr = op_y * F32(1.0 / 255.0) - get_y(op[..., :3])
     out = op.copy()
-    out[..., 0] = op[..., 0] + corr
-    out[..., 1] = op[..., 1] + corr
-    out[..., 2] = op[..., 2] + corr
+    if cfg.hdr_mode == 1:   # NIS_HDR_MODE_LINEAR: multiplicative luma fix
+        # NIS_Scaler.h:749-756
+        k_eps = F32(1e-4)
+        k_norm = rcp(NIS_SCALE_FLOAT * KHDR_COMPRESSION)
+        op_yn = np.maximum(op_y, F32(0.0)) * k_norm
+        corr = np.divide(op_yn * op_yn + k_eps,
+                         np.maximum(get_y_linear(op[..., :3]), F32(0.0))
+                         + k_eps, dtype=np.float32)
+        out[..., 0] = op[..., 0] * corr
+        out[..., 1] = op[..., 1] * corr
+        out[..., 2] = op[..., 2] * corr
+    else:                   # SDR and PQ: additive correction (:758-761)
+        corr = op_y * F32(1.0 / 255.0) - get_y(op[..., :3], cfg.hdr_mode)
+        out[..., 0] = op[..., 0] + corr
+        out[..., 1] = op[..., 1] + corr
+        out[..., 2] = op[..., 2] + corr
     return out
 
 
@@ -283,7 +311,7 @@ def nvsharpen_oracle(img, cfg: NisConfig):
     img = np.asarray(img, np.float32)
     if img.shape[-1] == 3:
         img = np.concatenate([img, np.ones(img.shape[:2] + (1,), np.float32)], axis=-1)
-    y01 = get_y(img)
+    y01 = get_y(img, cfg.hdr_mode)
     h, w = y01.shape
     ys_idx = np.arange(h)
     xs_idx = np.arange(w)
@@ -322,7 +350,17 @@ def nvsharpen_oracle(img, cfg: NisConfig):
     # The output tap samples at ((x+0.5)/W, (y+0.5)/H) which lands on the texel
     # centre — hardware subtexel quantization makes this an exact fetch.
     out = img.copy()
-    out[..., 0] = img[..., 0] + usm_y
-    out[..., 1] = img[..., 1] + usm_y
-    out[..., 2] = img[..., 2] + usm_y
+    if cfg.hdr_mode == 1:   # NIS_HDR_MODE_LINEAR (NIS_Scaler.h:951-959)
+        k_eps = F32(1e-4) * KHDR_COMPRESSION * KHDR_COMPRESSION
+        new_y = np.maximum(p[2][2] + usm_y, F32(0.0))
+        old_y = p[2][2]
+        corr = np.divide(new_y * new_y + k_eps, old_y * old_y + k_eps,
+                         dtype=np.float32)
+        out[..., 0] = img[..., 0] * corr
+        out[..., 1] = img[..., 1] * corr
+        out[..., 2] = img[..., 2] * corr
+    else:                   # SDR and PQ: additive (:961-963)
+        out[..., 0] = img[..., 0] + usm_y
+        out[..., 1] = img[..., 1] + usm_y
+        out[..., 2] = img[..., 2] + usm_y
     return out

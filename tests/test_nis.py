@@ -67,3 +67,56 @@ class TestNisJaxParity:
         got = np.asarray(nvsharpen_jax(jnp.asarray(img.transpose(2, 0, 1)),
                                        cfg)).transpose(1, 2, 0)
         assert np.abs(got - want).max() <= exactness_tol()
+
+
+class TestHdrModes:
+    """NIS_HDR_MODE_LINEAR (1) / _PQ (2): getY variants and the linear mode's
+    multiplicative luma correction (NIS_Scaler.h:112-118, 160-169, 744-761,
+    949-963). Inputs exceed [0,1] in linear mode (scRGB-style)."""
+
+    def _img(self, rng, h, w, hdr_mode):
+        scale = 4.0 if hdr_mode == 1 else 1.0
+        img = (rng.random((h, w, 4)) * scale).astype(np.float32)
+        img[..., 3] = 1.0
+        return img
+
+    @pytest.mark.parametrize("hdr_mode", [1, 2])
+    def test_scaler_hdr_matches_oracle(self, rng, hdr_mode):
+        import jax.numpy as jnp
+        from openvr_fsr_tpu.ops.nis import nvscaler_jax
+
+        h_in, w_in, out_w, out_h = 48, 56, 74, 64
+        img = self._img(rng, h_in, w_in, hdr_mode)
+        cfg = C.nvscaler_update_config(0.66, w_in, h_in, w_in, h_in,
+                                       out_w, out_h, out_w, out_h,
+                                       hdr_mode=hdr_mode)
+        assert cfg.hdr_mode == hdr_mode
+        want = nvscaler_oracle(img, out_w, out_h, cfg)
+        got = np.asarray(nvscaler_jax(jnp.asarray(img.transpose(2, 0, 1)),
+                                      out_w, out_h, cfg)).transpose(1, 2, 0)
+        assert np.abs(got - want).max() <= exactness_tol() * 4
+
+    @pytest.mark.parametrize("hdr_mode", [1, 2])
+    def test_sharpen_hdr_matches_oracle(self, rng, hdr_mode):
+        import jax.numpy as jnp
+        from openvr_fsr_tpu.ops.nis import nvsharpen_jax
+
+        img = self._img(rng, 44, 52, hdr_mode)
+        cfg = C.nvsharpen_update_config(0.9, 52, 44, 52, 44,
+                                        hdr_mode=hdr_mode)
+        want = nvsharpen_oracle(img, cfg)
+        got = np.asarray(nvsharpen_jax(jnp.asarray(img.transpose(2, 0, 1)),
+                                       cfg)).transpose(1, 2, 0)
+        assert np.abs(got - want).max() <= exactness_tol() * 4
+
+    def test_hdr_differs_from_sdr(self, rng):
+        """The modes are not no-ops: mode 1 output differs from mode 0."""
+        import jax.numpy as jnp
+        from openvr_fsr_tpu.ops.nis import nvsharpen_jax
+
+        img = self._img(rng, 32, 36, 1)
+        c0 = C.nvsharpen_update_config(0.9, 36, 32, 36, 32)
+        c1 = C.nvsharpen_update_config(0.9, 36, 32, 36, 32, hdr_mode=1)
+        a = np.asarray(nvsharpen_jax(jnp.asarray(img.transpose(2, 0, 1)), c0))
+        b = np.asarray(nvsharpen_jax(jnp.asarray(img.transpose(2, 0, 1)), c1))
+        assert np.abs(a - b).max() > 1e-3
