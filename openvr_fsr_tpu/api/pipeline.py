@@ -271,13 +271,83 @@ class Pipeline:
 
         return jax.jit(run)
 
+    def _build_cas_upscale(self, b, h, w, eyes, interpret):
+        """CAS scaling path (kernels/cas.py) — CasFilter noScaling=false
+        sharpens and upscales in one pass (ffx_cas.h:552-892)."""
+        from ..kernels.cas import build_cas_upscale
+
+        cfg = self.config
+        out_w, out_h = cfg.output_size(w, h)
+        from ..oracle.cas import cas_support_scaling
+        if not cas_support_scaling(out_w, out_h, w, h):
+            self._log.info(
+                "CAS scale factor above the 4x area limit "
+                "(ffx_cas.h:368-372) — output follows the filter anyway")
+        scaler = build_cas_upscale(
+            b, h, w, out_w, out_h, sharpness=cfg.sharpness,
+            centres=self._centres_array(out_w, out_h, eyes),
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            precision=self.precision, interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+
+        if color_bits == 8:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.asarray(x), jnp.uint32)
+                return jax.lax.bitcast_convert_type(scaler(packed), jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))[:, :3]
+                rgb = scaler(ints.astype(jnp.float32))
+                alpha = jnp.ones((b, 1, out_h, out_w), jnp.float32)
+                return from_planar(jnp.concatenate([rgb, alpha], axis=1),
+                                   color_bits, alpha_bits)
+
+        return jax.jit(run)
+
+    def _build_cas_sharpen(self, b, h, w, eyes, interpret):
+        """CAS sharpen-only path (kernels/cas.py, noScaling=true) for
+        renderScale == 1."""
+        from ..kernels.cas import build_cas_sharpen
+
+        cfg = self.config
+        sharpen = build_cas_sharpen(
+            b, h, w, sharpness=cfg.sharpness,
+            centres=self._centres_array(w, h, eyes),
+            color_bits=self.color_bits, debug=cfg.debug_mode,
+            precision=self.precision, interpret=interpret)
+        color_bits, alpha_bits = self.color_bits, self.alpha_bits
+
+        if color_bits == 8:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                packed = jax.lax.bitcast_convert_type(
+                    jnp.asarray(x), jnp.uint32)
+                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+        else:
+            def run(frames):
+                x = frames if frames.ndim == 4 else frames[None]
+                ints = jnp.transpose(jnp.asarray(x), (0, 3, 1, 2))
+                return from_planar(sharpen(ints.astype(jnp.float32)),
+                                   color_bits, alpha_bits)
+
+        return jax.jit(run)
+
     def _build(self, b, h, w, eyes):
         cfg = self.config
+        if cfg.use_nis and cfg.use_cas:
+            raise ValueError("use_nis and use_cas are mutually exclusive")
         out_w, out_h = cfg.output_size(w, h)
         do_up, do_sh = cfg.stage_plan()
         backend = self._resolve_backend()
         if backend in ("pallas", "pallas-interpret"):
             interpret = backend == "pallas-interpret"
+            if cfg.use_cas:
+                if do_up:
+                    return self._build_cas_upscale(b, h, w, eyes, interpret)
+                return self._build_cas_sharpen(b, h, w, eyes, interpret)
             if not cfg.use_nis:
                 if do_up and do_sh:
                     return self._build_fsr_fused(b, h, w, eyes, interpret)
@@ -305,7 +375,24 @@ class Pipeline:
         if do_up:
             up_tile = fov.TILE_NIS_SCALER if cfg.use_nis else fov.TILE_FSR
             mask_up = jnp.asarray(self._masks(out_w, out_h, up_tile, eyes))
-            if cfg.use_nis:
+            if cfg.use_cas:
+                from ..ops.cas import cas_upscale_jax
+                from ..oracle.cas import cas_support_scaling
+                if not cas_support_scaling(out_w, out_h, w, h):
+                    self._log.info(
+                        "CAS scale factor above the 4x area limit "
+                        "(ffx_cas.h:368-372) — output follows the filter anyway")
+
+                def cas_up(rgba, mask):
+                    up = cas_upscale_jax(rgba[:3], cfg.sharpness, out_w, out_h)
+                    fb = bilinear_fallback_fsr_jax(rgba[:3], out_w, out_h)
+                    fb = fb * jnp.asarray(tint[:3])[:, None, None]
+                    rgb = jnp.where(mask[None], up, fb)
+                    alpha = jnp.ones((1, out_h, out_w), jnp.float32)
+                    return jnp.concatenate([rgb, alpha], axis=0)
+
+                stages.append(("quantized_stage", jax.vmap(cas_up), mask_up))
+            elif cfg.use_nis:
                 nis_cfg = C.nvscaler_update_config(
                     cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
                 if not nis_cfg.valid:
@@ -337,7 +424,18 @@ class Pipeline:
         if do_sh:
             sh_tile = fov.TILE_NIS_SHARPEN if cfg.use_nis else fov.TILE_FSR
             mask_sh = jnp.asarray(self._masks(out_w, out_h, sh_tile, eyes))
-            if cfg.use_nis:
+            if cfg.use_cas:
+                from ..ops.cas import cas_sharpen_jax
+
+                def cas_sh(rgba, mask):
+                    sh = cas_sharpen_jax(rgba[:3], cfg.sharpness)
+                    fb = rgba * jnp.asarray(tint)[:, None, None]
+                    rgb = jnp.where(mask[None], sh, fb[:3])
+                    alpha = jnp.where(mask[None], jnp.float32(1.0), fb[3:4])
+                    return jnp.concatenate([rgb, alpha], axis=0)
+
+                stages.append(("quantized_stage", jax.vmap(cas_sh), mask_sh))
+            elif cfg.use_nis:
                 nis_cfg_sh = C.nvsharpen_update_config(
                     cfg.sharpness, out_w, out_h, out_w, out_h)
 
@@ -443,7 +541,8 @@ class Pipeline:
             self._log.info(
                 "Creating post-processing resources: %dx%d -> %s (%s)",
                 w, h, self.config.output_size(w, h),
-                "NIS" if self.config.use_nis else "FSR")
+                "CAS" if self.config.use_cas
+                else ("NIS" if self.config.use_nis else "FSR"))
             fn = self._build(b, h, w, eyes)
             self._cache[key] = fn
         inp = frames[None] if squeeze else frames
@@ -462,7 +561,7 @@ class Pipeline:
 def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
             eye_centers=None, debug=False, eyes=None, color_bits=None,
             single_eye_per_frame=True, backend="auto", precision="full",
-            bounds=None, crop=False):
+            bounds=None, crop=False, use_cas=False):
     """One-shot functional API.
 
     frame: (H, W, 4) or (B, H, W, 4) uint8 RGBA (uint16 for 10-bit).
@@ -470,10 +569,11 @@ def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,
     only. precision: "full" (oracle parity) or "half" (the packed-fp16
     analog). bounds: optional VRTextureBounds_t (uMin, vMin, uMax, vMax) —
     half-width bounds select double-wide eye packing (PostProcessor.cpp:146);
-    with crop=True only the bounded output region is returned. Other args
-    mirror openvr_mod.cfg keys. Returns processed frame(s).
+    with crop=True only the bounded output region is returned. use_cas
+    selects FFX CAS (single CasFilter pass, ffx_cas.h). Other args mirror
+    openvr_mod.cfg keys. Returns processed frame(s).
     """
-    cfg = Config(enabled=True, use_nis=use_nis,
+    cfg = Config(enabled=True, use_nis=use_nis, use_cas=use_cas,
                  render_scale=1.0 if render_scale is None else float(render_scale),
                  sharpness=float(sharpness), radius=float(radius),
                  debug_mode=bool(debug))

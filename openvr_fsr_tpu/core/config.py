@@ -43,6 +43,12 @@ class Config:
 
     enabled: bool = False          # "fsrEnabled"
     use_nis: bool = False          # use NVIDIA Image Scaling instead of FSR
+    # Framework extension (not in the reference cfg schema): select FFX CAS
+    # (src/cas/ffx_cas.h) — the upscaler the mod shipped before FSR1 and
+    # keeps in-tree but out of the build (absent from src/CMakeLists.txt:
+    # 58-90). CasFilter sharpens and upscales in ONE pass: rs != 1 runs the
+    # scaling path (noScaling=false), rs == 1 the sharpen-only path.
+    use_cas: bool = False          # "useCAS" (extension key)
     render_scale: float = 1.0      # <1: out=in/rs ; >1: out=in*rs ; =1: sharpen only
     sharpness: float = 0.75        # [0,1] slider
     radius: float = 0.5            # foveation radius as fraction of outH (2.0 = off)
@@ -70,9 +76,13 @@ class Config:
         Returns (do_upscale, do_sharpen):
           FSR:  upscale iff rs != 1; sharpen always.
           NIS:  rs != 1 -> NVScaler only; rs == 1 -> NVSharpen only.
+          CAS:  one CasFilter pass — scaling (which also sharpens) iff
+                rs != 1, else sharpen-only (noScaling).
         """
         rs = float(self.render_scale)
         do_upscale = rs != 1.0
+        if self.use_cas:
+            return do_upscale, not do_upscale
         do_sharpen = (not self.use_nis) or rs == 1.0
         return do_upscale, do_sharpen
 
@@ -152,6 +162,7 @@ def _config_from_fsr(fsr):
         radius=float(fsr.get("radius", 0.5)),
         debug_mode=bool(fsr.get("debugMode", False)),
         use_nis=bool(fsr.get("useNIS", False)),
+        use_cas=bool(fsr.get("useCAS", False)),
         hotkeys=Hotkeys(
             enabled=bool(hk.get("enabled", True)),
             require_ctrl=bool(hk.get("requireCtrl", False)),

@@ -1,0 +1,571 @@
+"""FFX CAS Pallas TPU kernels (upscale and sharpen-only).
+
+The reference keeps CAS in-tree but out of the build (absent from
+src/CMakeLists.txt:58-90; superseded by FSR1) — its shaders predate the
+foveated-radius feature and always write alpha 1 (src/cas/cas.compute.h:
+34-47). This framework ships CAS as a first-class pipeline mode with the
+same foveation/debug-tint semantics as the FSR and NIS wrappers:
+
+  * build_cas_upscale — CasFilter noScaling=false (ffx_cas.h:552-892), the
+    mod's cas.upscale.hlsl flags (CAS_SHARPEN_ONLY=0, no
+    CAS_BETTER_DIAGONALS). One pass sharpens AND upscales; outside the
+    foveation circle a bilinear DirectCopy fallback (+ optional debug tint)
+    runs instead, mirroring fsr_easu.hlsl:33-36 / NIS_Upscale.hlsl:77-90.
+  * build_cas_sharpen — CasFilter noScaling=true (ffx_cas.h:430-552) with
+    the maxColorDelta clamp; passthrough (+ tint) outside the circle like
+    fsr_rcas.hlsl:44-47.
+
+TPU-first design is the v3 fused-FSR scheme (kernels/fsr.py): the grid is
+(batch, row_band); each band DMAs a full-width input row window HBM->VMEM
+(double-buffered); a single one-hot row-gather matmul per channel stages
+all dy tap rows + the two bilinear rows; per 128-column chunk one stacked
+column matmul yields every (dy, dx) tap combination at once. CAS's 4x4
+footprint uses the same dx, dy in {-1, 0, 1, 2} offsets as EASU, but with
+the Load() zero-OOB rule (ops/cas.cas_upscale_jax pads with zeros) — the
+one-hot matrices encode that directly: out-of-image rows/columns are
+all-zero rows of the gather matrix, so no clamp-composition blocks are
+needed. Texels are integers <= 255, hence bf16 one-hot matmuls with f32
+accumulation are bit-exact for 8-bit frames (f32 HIGHEST for 10-bit).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import foveation as fov
+from ..ops.cas import (cas_core, cas_upscale_core, cas_setup_sharp,
+                       cas_upscale_index_maps)
+
+__all__ = ["build_cas_upscale", "build_cas_sharpen"]
+
+F32 = np.float32
+
+_DYS = (-1, 0, 1, 2)
+# the 12 taps CasFilter's scaling path reads (ffx_cas.h:573-587): the 4x4
+# window minus its corners, keyed (dx, dy)
+CAS_USED_TAPS = tuple((dx, dy) for dy in (-1, 0, 1, 2)
+                      for dx in (-1, 0, 1, 2)
+                      if not (dx in (-1, 2) and dy in (-1, 2)))
+
+_CHUNK = 128
+
+
+def _round_up(x, m):
+    return -(-int(x) // m) * m
+
+
+def _bilinear_axis(out_n, in_n):
+    """DirectCopy bilinear maps for u = arange(n)/n (fsr_easu.hlsl:34;
+    identical to kernels/fsr._bilinear_axis)."""
+    u = np.arange(out_n, dtype=np.float32) / F32(out_n)
+    t = u * F32(in_n) - F32(0.5)
+    i0 = np.floor(t)
+    return i0.astype(np.int32), (t - i0).astype(np.float32)
+
+
+def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
+                      centres, color_bits=8, debug=False, band_rows=128,
+                      chunk=_CHUNK, precision="full", interpret=False):
+    """Build the CAS scaling kernel for a fixed shape/config.
+
+    Args mirror kernels/fsr.build_fsr_fused; sharpness is the [0,1] CAS
+    slider (CasSetup, ffx_cas.h:391). Returns fn(img) with the same packed
+    u32 (8-bit) / planar f32 (10-bit) IO contract.
+    """
+    B = int(batch)
+    H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
+    OWP_EST = _round_up(OW, int(chunk))
+    while band_rows > 32 and 9 * (int(band_rows)) * OWP_EST * 4 > 24 * 2**20:
+        band_rows = int(band_rows) // 2
+    TH = OH if OH <= int(band_rows) else int(band_rows)
+    GY = -(-OH // TH)
+    CHUNK = int(chunk)
+    NCHUNK = -(-OW // CHUNK)
+    OWP = NCHUNK * CHUNK
+    TOTAL = B * GY
+
+    cmax = F32((1 << color_bits) - 1)
+    inv_cmax = F32(1.0) / cmax
+    exact_bf16 = color_bits <= 8
+    import ml_dtypes
+    core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
+    sharp = cas_setup_sharp(sharpness)
+    tint = (F32(0.7), F32(0.7)) if debug else None
+
+    packed_io = exact_bf16
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
+    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    row_align = 8
+    HP = _round_up(H, row_align)
+    WP = _round_up(W, 128)
+
+    # ---- host-side static maps ----------------------------------------------
+    fxi, ppx = cas_upscale_index_maps(W, OW)
+    fyi, ppy = cas_upscale_index_maps(H, OH)
+    bx0, fbx = _bilinear_axis(OW, W)
+    by0, fby = _bilinear_axis(OH, H)
+    # per-band output rows (clipped duplicates beyond OH on the last band —
+    # masked out by the partial output block)
+    rows_o = np.clip(np.arange(GY)[:, None] * TH + np.arange(TH)[None, :],
+                     0, OH - 1)
+    fyi_e = fyi[rows_o]                      # (GY, TH) input floor rows
+    ppy_e = ppy[rows_o].astype(np.float32)
+    by0_e, fby_e = by0[rows_o], fby[rows_o].astype(np.float32)
+    fxi_p = np.concatenate([fxi, np.repeat(fxi[-1:], OWP - OW)]) \
+        if OWP > OW else fxi
+    ppx_p = np.concatenate([ppx, np.repeat(ppx[-1:], OWP - OW)]) \
+        if OWP > OW else ppx
+    bx0_p = np.concatenate([bx0, np.repeat(bx0[-1:], OWP - OW)]) \
+        if OWP > OW else bx0
+    fbx_p = np.concatenate([fbx, np.repeat(fbx[-1:], OWP - OW)]) \
+        if OWP > OW else fbx
+
+    # per-band input row windows (cover all valid taps incl. bilinear rows)
+    lo = np.minimum(np.clip(fyi_e[:, 0] - 1, 0, H - 1),
+                    np.clip(by0_e[:, 0], 0, H - 1))
+    hi = np.maximum(np.clip(fyi_e[:, -1] + 2, 0, H - 1),
+                    np.clip(by0_e[:, -1] + 1, 0, H - 1))
+    lo_a = (lo // row_align) * row_align
+    IH = min(_round_up(int((hi - lo_a + 1).max()), row_align), HP)
+    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+
+    # per-chunk static input column windows
+    cw0, cKc = [], 0
+    for k in range(NCHUNK):
+        c0, c1 = k * CHUNK, k * CHUNK + CHUNK - 1
+        klo = min(int(np.clip(fxi_p[c0] - 1, 0, W - 1)),
+                  int(np.clip(bx0_p[c0], 0, W - 1)))
+        khi = max(int(np.clip(fxi_p[c1] + 2, 0, W - 1)),
+                  int(np.clip(bx0_p[c1] + 1, 0, W - 1)))
+        cw0.append(klo)
+        cKc = max(cKc, khi - klo + 1)
+    KC = min(cKc, W)
+    cw0 = [min(w0, W - KC) for w0 in cw0]
+
+    # host-side foveation state: 0 outside, 1 inside, 2 out-of-image cols
+    centres = np.asarray(centres, np.int64).reshape(B, 5)
+    cls = np.zeros((B, GY, NCHUNK), np.int32)
+    mstate = np.zeros((B, GY, TH, OWP), np.uint8)
+    for bi in range(B):
+        cl = (centres[bi, 0], centres[bi, 1])
+        cr = (centres[bi, 2], centres[bi, 3])
+        pm = fov.pixel_mask(OW, OH, fov.TILE_FSR, (cl, cr),
+                            int(centres[bi, 4]))
+        pm_p = np.zeros((OH, OWP), bool)
+        pm_p[:, :OW] = pm
+        for i in range(GY):
+            st = pm_p[rows_o[i]].astype(np.uint8)
+            st[:, OW:] = 2
+            mstate[bi, i] = st
+            for k in range(NCHUNK):
+                sub = st[:, k * CHUNK:(k + 1) * CHUNK]
+                ins = (sub == 1)
+                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
+                                 else (1 if ins.any() else 0))
+    cls_flat = cls.reshape(-1)
+    band_cls = np.where((cls == 0).all(-1), 0,
+                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
+    band_cls = band_cls.reshape(-1)
+
+    # ---- one-hot gather matrices (zero rows/cols for Load() OOB) ------------
+    TP = _round_up(TH, 8)
+    N_CAS = 4 * TP
+    N_BIL = 2 * TP
+    N_ROW = N_CAS + N_BIL
+    iota_ih = np.arange(IH)[None, :]
+
+    def _row_oh(rows, band, clamp):
+        """rows: (TH,) global input rows -> (TP, IH); OOB rows stay zero
+        unless clamp (bilinear fallback clamps like the sampler)."""
+        if clamp:
+            loc = np.clip(rows, 0, H - 1) - oy_all[band]
+            oh = np.zeros((TP, IH), np.float32)
+            oh[:TH] = (loc[:, None] == iota_ih)
+        else:
+            oh = np.zeros((TP, IH), np.float32)
+            valid = (rows >= 0) & (rows < H)
+            loc = rows - oy_all[band]
+            oh[:TH] = (loc[:, None] == iota_ih) & valid[:, None]
+        return oh
+
+    rstack = np.zeros((GY, N_ROW, IH), np.float32)
+    for i in range(GY):
+        blocks = [_row_oh(fyi_e[i] + dy, i, False) for dy in _DYS]
+        blocks += [_row_oh(by0_e[i], i, True), _row_oh(by0_e[i] + 1, i, True)]
+        rstack[i] = np.concatenate(blocks, axis=0)
+
+    iota_kc = np.arange(KC)[:, None]
+    sstack = np.zeros((NCHUNK, KC, 6 * CHUNK), np.float32)
+    for k in range(NCHUNK):
+        cs = slice(k * CHUNK, k * CHUNK + CHUNK)
+        blocks = []
+        for dx in (-1, 0, 1, 2):
+            cols = fxi_p[cs] + dx
+            valid = (cols >= 0) & (cols < W)
+            blocks.append(((iota_kc == (cols - cw0[k])[None, :]) &
+                           valid[None, :]).astype(np.float32))
+        for b0 in (np.clip(bx0_p[cs], 0, W - 1),
+                   np.clip(bx0_p[cs] + 1, 0, W - 1)):
+            blocks.append((iota_kc == (b0 - cw0[k])[None, :]
+                           ).astype(np.float32))
+        sstack[k] = np.concatenate(blocks, axis=1)
+
+    def _mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
+    def _mm2(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
+    dyi = {dy: j for j, dy in enumerate(_DYS)}
+
+    def kernel(oy_ref, cls_ref, bcls_ref,
+               img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r,
+               out_ref, inbuf, g_rows, s_cas, s_bilx, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        step = b * GY + i
+
+        def dma(slot, bb, ii):
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, b, i).start()
+
+        @pl.when(step + 1 < TOTAL)
+        def _():
+            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
+
+        slot = jax.lax.rem(step, 2)
+        dma(slot, b, i).wait()
+
+        if packed_io:
+            raw = inbuf[slot].astype(jnp.int32)
+            chans = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(raw, 8 * c), 255
+            ).astype(jnp.bfloat16) for c in range(3)]
+
+            def inp_full(c):
+                return chans[c]
+        else:
+            band = inbuf[slot]
+
+            def inp_full(c):
+                return band[c]
+
+        ppy_t = ppy_r[0]                     # (TH, 1)
+        one = F32(1.0)
+
+        # band prologue: one row-gather matmul per channel
+        r_all = rst_r[0]
+        for c in range(3):
+            g = _mm(r_all, inp_full(c))
+            g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
+
+        def _cas_chunk(k, c0, w0, ppx_c):
+            s_e = sst_r[k, :, :4 * CHUNK]
+            taps = {}
+            for c in range(3):
+                ge = g_rows[c * N_ROW:c * N_ROW + N_CAS, w0:w0 + KC]
+                t = _mm2(ge, s_e)            # (4*TP, 4*CHUNK)
+                for (dx, dy) in CAS_USED_TAPS:
+                    taps.setdefault((dx, dy), []).append(
+                        t[dyi[dy] * TP:dyi[dy] * TP + TH,
+                          (dx + 1) * CHUNK:(dx + 2) * CHUNK])
+            taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
+            s_cas[:, :, c0:c0 + CHUNK] = cas_upscale_core(
+                taps, ppx_c, ppy_t, sharp, dt=core_dt).astype(jnp.float32)
+
+        def _bil_chunk(k, c0, w0):
+            s_b = sst_r[k, :, 4 * CHUNK:]
+            fxc = fbx_r[k]
+            for c in range(3):
+                gb = g_rows[c * N_ROW + N_CAS:(c + 1) * N_ROW, w0:w0 + KC]
+                t = _mm2(gb, s_b)            # (2*TP, 2*CHUNK)
+                for yb in range(2):
+                    ty = t[yb * TP:yb * TP + TH]
+                    t0 = ty[:, :CHUNK] * inv_cmax
+                    t1 = ty[:, CHUNK:] * inv_cmax
+                    s_bilx[c, yb * TH:(yb + 1) * TH, c0:c0 + CHUNK] = \
+                        t0 * (one - fxc) + t1 * fxc
+
+        def _chunk_loop(mode):
+            for k in range(NCHUNK):
+                c0 = k * CHUNK
+                w0 = cw0[k]
+                ppx_c = ppx_r[k]
+                if mode == "bil":
+                    _bil_chunk(k, c0, w0)
+                elif mode == "cas":
+                    _cas_chunk(k, c0, w0, ppx_c)
+                else:
+                    tcls = cls_ref[step * NCHUNK + k]
+                    pl.when(tcls > 0)(
+                        lambda k=k, c0=c0, w0=w0, p=ppx_c:
+                        _cas_chunk(k, c0, w0, p))
+                    pl.when(tcls < 2)(
+                        lambda k=k, c0=c0, w0=w0: _bil_chunk(k, c0, w0))
+
+        bcls = bcls_ref[step]
+        pl.when(bcls == 0)(lambda: _chunk_loop("bil"))
+        pl.when(bcls != 0)(lambda: _chunk_loop("both"))
+
+        # band epilogue: y-lerp fallback, foveated select, tint, UNORM store
+        ms = mst_r[0, 0].astype(jnp.int32)   # (TH, OWP)
+        fy = fby_r[0]                        # (TH, 1)
+        bil = s_bilx[:, :TH] * (one - fy) + s_bilx[:, TH:] * fy
+        if tint is not None:
+            bil = jnp.stack([bil[0], bil[1] * tint[0], bil[2] * tint[1]], 0)
+        res = jnp.where((ms == 1)[None], s_cas[:], bil)
+        if packed_io:
+            q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jnp.int32(-16777216))            # alpha 255 << 24
+            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+        else:
+            out_ref[0] = res[:, :, :OW]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, GY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, N_ROW, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, KC, 6 * CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, TH, 1), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, TH, 1), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 3, TH, OW), lambda b, i, *_: (b, 0, i, 0))),
+        scratch_shapes=[
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 3, IH, WP), jnp.float32)),
+            pltpu.VMEM((3 * N_ROW, WP), mm_dtype),
+            pltpu.VMEM((3, TH, OWP), jnp.float32),
+            pltpu.VMEM((3, 2 * TH, OWP), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, OH, OW), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 3, OH, OW), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    rowmaps = [ppy_e.reshape(GY, TH, 1), fby_e.reshape(GY, TH, 1)]
+    colmaps = [ppx_p.reshape(NCHUNK, 1, CHUNK).astype(np.float32),
+               fbx_p.reshape(NCHUNK, 1, CHUNK)]
+    statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
+               jnp.asarray(band_cls), jnp.asarray(mstate.astype(np.int8)),
+               jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype)] \
+        + [jnp.asarray(a) for a in rowmaps + colmaps]
+
+    def fn(img):
+        if packed_io:
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
+        else:
+            img = img.astype(jnp.float32)
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        return call(statics[0], statics[1], statics[2], img, *statics[3:])
+
+    return fn
+
+
+def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
+                      debug=False, band_rows=256, max_color_delta=1.0,
+                      precision="full", interpret=False):
+    """CAS sharpen-only kernel (CasFilter noScaling=true, ffx_cas.h:430-552)
+    — the structural sibling of kernels/rcas.build_rcas_sharpen with CAS's
+    3x3 footprint and maxColorDelta clamp. Same IO contract."""
+    import ml_dtypes
+    core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
+    B, H, W = int(batch), int(h), int(w)
+    TH = H if H <= int(band_rows) else int(band_rows)
+    TH_E = TH + 2
+    GY = -(-H // TH)
+    TOTAL = B * GY
+
+    cmax = F32((1 << color_bits) - 1)
+    inv_cmax = F32(1.0) / cmax
+    exact_bf16 = color_bits <= 8
+    sharp = cas_setup_sharp(sharpness)
+    tint = (F32(0.7), F32(0.7)) if debug else None
+
+    packed_io = exact_bf16
+    in_dtype = jnp.uint32 if packed_io else jnp.float32
+    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
+    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    row_align = 8
+    HP = _round_up(H, row_align)
+    WP = _round_up(W, 128)
+
+    rows_e = np.clip(np.arange(GY)[:, None] * TH - 1
+                     + np.arange(TH_E)[None, :], 0, H - 1)
+    lo_a = (rows_e[:, 0] // row_align) * row_align
+    IH = min(_round_up(int((rows_e[:, -1] - lo_a + 1).max()), row_align), HP)
+    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+
+    rstack = np.zeros((GY, TH_E, IH), np.float32)
+    for i in range(GY):
+        rstack[i] = (rows_e[i] - oy_all[i])[:, None] == np.arange(IH)[None, :]
+
+    centres = np.asarray(centres, np.int64).reshape(B, 5)
+    row_ok = ((np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] >= 0)
+              & (np.arange(GY)[:, None] * TH - 1
+                 + np.arange(TH_E)[None, :] < H))
+    mstate = np.zeros((B, GY, TH_E, WP), np.int8)
+    for bi in range(B):
+        pm = fov.pixel_mask(W, H, fov.TILE_FSR,
+                            ((centres[bi, 0], centres[bi, 1]),
+                             (centres[bi, 2], centres[bi, 3])),
+                            int(centres[bi, 4]))
+        pm_p = np.zeros((H, WP), bool)
+        pm_p[:, :W] = pm
+        for i in range(GY):
+            st = pm_p[rows_e[i]].astype(np.int8)
+            st[~row_ok[i]] = 2
+            st[:, W:] = 2
+            mstate[bi, i] = st
+
+    def _mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
+            precision=mm_prec, preferred_element_type=jnp.float32)
+
+    def kernel(oy_ref, img, mst_r, rst_r, out_ref, inbuf, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        step = b * GY + i
+
+        def dma(slot, bb, ii):
+            if packed_io:
+                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
+                                       IH)]
+            else:
+                src = img.at[bb, :, pl.ds(
+                    pl.multiple_of(oy_ref[ii], row_align), IH)]
+            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
+
+        @pl.when(step == 0)
+        def _():
+            dma(0, b, i).start()
+
+        @pl.when(step + 1 < TOTAL)
+        def _():
+            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
+
+        slot = jax.lax.rem(step, 2)
+        dma(slot, b, i).wait()
+        rsel = rst_r[0]
+
+        if packed_io:
+            raw = inbuf[slot].astype(jnp.int32)
+            band = [jnp.bitwise_and(
+                jax.lax.shift_right_logical(raw, 8 * c), 255
+            ).astype(jnp.bfloat16) for c in range(4)]
+        else:
+            band4 = inbuf[slot]
+            band = [band4[c] for c in range(4)]
+
+        ms = mst_r[0, 0].astype(jnp.int32)
+        gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
+        dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
+
+        qv = dec[:3]
+        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
+        qx = jnp.concatenate([padl, qv, padl], axis=2)  # CasLoad OOB -> zero
+        taps = {(dy, dx): qx[:, 1 + dy:1 + dy + TH, 1 + dx:1 + dx + WP]
+                for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+        e = taps[0, 0]
+        sh = cas_core(taps, sharp, max_color_delta,
+                      dt=core_dt).astype(jnp.float32)
+        m_in = (ms[1:1 + TH] == 1)[None]
+        if tint is not None:
+            fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+        else:
+            fb = e
+        rgb = jnp.where(m_in, sh, fb)
+        alpha_src = dec[3:4][:, 1:1 + TH]
+        alpha = jnp.where(m_in, F32(1.0), alpha_src)
+        if packed_io:
+            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
+                           ).astype(jnp.int32)
+            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
+                      + jax.lax.shift_left(q8[2], 16)
+                      + jax.lax.shift_left(qa, 24))
+            out_ref[0] = packed.astype(jnp.uint32)[:, :W]
+        else:
+            out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :W]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, GY),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, TH_E, WP), lambda b, i, *_: (b, i, 0, 0)),
+            pl.BlockSpec((1, TH_E, IH), lambda b, i, *_: (i, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, TH, W), lambda b, i, *_: (b, i, 0))
+                   if packed_io else
+                   pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0))),
+        scratch_shapes=[
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+             else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.uint32)
+                   if packed_io else
+                   jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    statics = [jnp.asarray(oy_all), jnp.asarray(mstate),
+               jnp.asarray(rstack, mm_dtype)]
+
+    def fn(img):
+        if packed_io:
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
+        else:
+            img = img.astype(jnp.float32)
+            if HP != H or WP != W:
+                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
+        return call(statics[0], img, statics[1], statics[2])
+
+    return fn

@@ -32,9 +32,21 @@ def cas_setup_sharp(sharpness):
     return F32(-1.0) * rcp(F32(8.0) + F32(s) * (F32(5.0) - F32(8.0)))
 
 
-def cas_core(taps, sharp, max_color_delta):
+def cas_core(taps, sharp, max_color_delta, dt=F32):
     """CasFilter noScaling=true, CAS_BETTER_DIAGONALS, green-coef weights
-    (ffx_cas.h:430-552). taps: dict (dy, dx) -> (3, H, W); channel-leading."""
+    (ffx_cas.h:430-552). taps: dict (dy, dx) -> (3, H, W); channel-leading.
+    dt=bfloat16 is the relaxed-precision fast mode (CasFilterH analog,
+    ffx_cas.h:902+); the bitcast approximations then evaluate in f32."""
+    if dt is not F32:
+        taps = {k: v.astype(dt) for k, v in taps.items()}
+
+        def via_f32(fn):
+            return lambda x: fn(x.astype(jnp.float32)).astype(dt)
+        lo_sqrt, lo_rcp, med_rcp = (via_f32(aprx_lo_sqrt),
+                                    via_f32(aprx_lo_rcp),
+                                    via_f32(aprx_med_rcp))
+    else:
+        lo_sqrt, lo_rcp, med_rcp = aprx_lo_sqrt, aprx_lo_rcp, aprx_med_rcp
     a, b, c = taps[-1, -1], taps[-1, 0], taps[-1, 1]
     d, e, f = taps[0, -1], taps[0, 0], taps[0, 1]
     g, h, i = taps[1, -1], taps[1, 0], taps[1, 1]
@@ -44,15 +56,18 @@ def cas_core(taps, sharp, max_color_delta):
     mx = jnp.maximum(max3(d, e, f), jnp.maximum(b, h))
     mx = mx + jnp.maximum(max3(mx, a, c), jnp.maximum(g, i))
 
-    amp = aprx_lo_sqrt(sat(jnp.minimum(mn, F32(2.0) - mx) * aprx_lo_rcp(mx)))
-    w_g = (amp * sharp)[1:2]                 # green coefficient only
-    rcp_weight = aprx_med_rcp(F32(1.0) + F32(4.0) * w_g)
-    pix = sat((b * w_g + d * w_g + f * w_g + h * w_g + e) * rcp_weight)
-    mcd = F32(max_color_delta)
+    def sat_dt(x):  # sat() in dt (ops.common.sat's F32 scalars would promote)
+        return jnp.minimum(dt(1.0), jnp.maximum(dt(0.0), x))
+
+    amp = lo_sqrt(sat_dt(jnp.minimum(mn, dt(2.0) - mx) * lo_rcp(mx)))
+    w_g = (amp * dt(sharp))[1:2]             # green coefficient only
+    rcp_weight = med_rcp(dt(1.0) + dt(4.0) * w_g)
+    pix = sat_dt((b * w_g + d * w_g + f * w_g + h * w_g + e) * rcp_weight)
+    mcd = dt(max_color_delta)
     return jnp.minimum(jnp.maximum(pix, e - mcd), e + mcd)
 
 
-def cas_upscale_core(taps, ppx, ppy, sharp):
+def cas_upscale_core(taps, ppx, ppy, sharp, dt=F32):
     """CasFilter noScaling=false (ffx_cas.h:552-892) given the 16 gathered
     taps — the mod's upscale shader flags: CAS_SHARPEN_ONLY=0 and *no*
     CAS_BETTER_DIAGONALS (src/cas/cas.upscale.hlsl), fast approximations,
@@ -62,8 +77,25 @@ def cas_upscale_core(taps, ppx, ppy, sharp):
 
     taps: dict (dx, dy) -> (3, h, w) channel-leading arrays.
     ppx/ppy: fractional coords broadcastable against (h, w).
+    dt=bfloat16 is the relaxed-precision fast mode (CasFilterH analog,
+    ffx_cas.h:902+); the bitcast approximations then evaluate in f32.
     """
-    one = F32(1.0)
+    if dt is not F32:
+        taps = {k: v.astype(dt) for k, v in taps.items()}
+        ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
+
+        def via_f32(fn):
+            return lambda x: fn(x.astype(jnp.float32)).astype(dt)
+        lo_sqrt, lo_rcp, med_rcp = (via_f32(aprx_lo_sqrt),
+                                    via_f32(aprx_lo_rcp),
+                                    via_f32(aprx_med_rcp))
+    else:
+        lo_sqrt, lo_rcp, med_rcp = aprx_lo_sqrt, aprx_lo_rcp, aprx_med_rcp
+
+    def sat_dt(x):
+        return jnp.minimum(dt(1.0), jnp.maximum(dt(0.0), x))
+
+    one = dt(1.0)
     b, c = taps[(0, -1)], taps[(1, -1)]
     e, f, g, h = taps[(-1, 0)], taps[(0, 0)], taps[(1, 0)], taps[(2, 0)]
     i, j, k, ll = taps[(-1, 1)], taps[(0, 1)], taps[(1, 1)], taps[(2, 1)]
@@ -81,8 +113,8 @@ def cas_upscale_core(taps, ppx, ppy, sharp):
     mnk, mxk = soft_g(g[G], j[G], k[G], ll[G], o[G])
 
     def weight(mn, mx):
-        amp = aprx_lo_sqrt(sat(jnp.minimum(mn, one - mx) * aprx_lo_rcp(mx)))
-        return amp * sharp
+        amp = lo_sqrt(sat_dt(jnp.minimum(mn, one - mx) * lo_rcp(mx)))
+        return amp * dt(sharp)
 
     wf, wg = weight(mnf, mxf), weight(mng, mxg)
     wj, wk = weight(mnj, mxj), weight(mnk, mxk)
@@ -91,11 +123,11 @@ def cas_upscale_core(taps, ppx, ppy, sharp):
     t = ppx * (one - ppy)
     u = (one - ppx) * ppy
     v = ppx * ppy
-    thin = F32(1.0 / 32.0)
-    s = s * aprx_lo_rcp(thin + (mxf - mnf))
-    t = t * aprx_lo_rcp(thin + (mxg - mng))
-    u = u * aprx_lo_rcp(thin + (mxj - mnj))
-    v = v * aprx_lo_rcp(thin + (mxk - mnk))
+    thin = dt(1.0 / 32.0)
+    s = s * lo_rcp(thin + (mxf - mnf))
+    t = t * lo_rcp(thin + (mxg - mng))
+    u = u * lo_rcp(thin + (mxj - mnj))
+    v = v * lo_rcp(thin + (mxk - mnk))
 
     qbe = wf * s
     qch = wg * t
@@ -105,11 +137,11 @@ def cas_upscale_core(taps, ppx, ppy, sharp):
     qk = wg * t + wj * u + v
     qin = wj * u
     qlo = wk * v
-    rcp_w = aprx_med_rcp(F32(2.0) * qbe + F32(2.0) * qch + F32(2.0) * qin
-                         + F32(2.0) * qlo + qf + qg + qj + qk)[None]
-    return sat((b * qbe + e * qbe + c * qch + h * qch + i * qin + n * qin
-                + ll * qlo + o * qlo + f * qf + g * qg + j * qj + k * qk)
-               * rcp_w)
+    rcp_w = med_rcp(dt(2.0) * qbe + dt(2.0) * qch + dt(2.0) * qin
+                    + dt(2.0) * qlo + qf + qg + qj + qk)[None]
+    return sat_dt((b * qbe + e * qbe + c * qch + h * qch + i * qin + n * qin
+                   + ll * qlo + o * qlo + f * qf + g * qg + j * qj + k * qk)
+                  * rcp_w)
 
 
 def cas_upscale_index_maps(in_n, out_n):

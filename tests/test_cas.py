@@ -130,3 +130,118 @@ class TestModels:
         import jax
         tol = 0 if jax.default_backend() == "cpu" else 1
         assert np.abs(out[..., :3].astype(int) - want8.astype(int)).max() <= tol
+
+
+class TestCasPipeline:
+    """CAS as a Pipeline mode: kernels/cas.py vs the XLA stage path, the
+    mode truth table (one CasFilter pass: scaling iff rs != 1), and the
+    foveation/debug-tint wrapper semantics shared with FSR/NIS."""
+
+    def _backend(self):
+        import jax
+        return "pallas" if jax.default_backend() == "tpu" else "pallas-interpret"
+
+    def _run_pair(self, h, w, radius, rs=0.75, debug=False, precision="full"):
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.8,
+                     radius=radius, debug_mode=debug, use_cas=True)
+        frames = np.stack([FR.zone_plate_frame(h, w),
+                           FR.noise_frame(h, w, seed=3)])
+        ref = Pipeline(cfg, backend="xla").process(frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=self._backend(),
+                       precision=precision).process(frames, eyes=(0, 1))
+        return np.asarray(got).astype(int), np.asarray(ref).astype(int)
+
+    def _assert_close(self, got, ref, frac=0.99, worst=16):
+        diff = np.abs(got - ref)
+        assert (diff == 0).mean() >= frac, (
+            f"only {(diff == 0).mean():.6f} bit-equal, max {diff.max()}")
+        assert diff.max() <= worst
+
+    @pytest.mark.parametrize("radius", [2.0, 0.5, 0.0])
+    def test_upscale_kernel_matches_xla(self, radius):
+        got, ref = self._run_pair(96, 130, radius)
+        self._assert_close(got, ref)
+
+    @pytest.mark.parametrize("radius", [2.0, 0.4])
+    def test_sharpen_kernel_matches_xla(self, radius):
+        got, ref = self._run_pair(96, 130, radius, rs=1.0)
+        self._assert_close(got, ref)
+
+    def test_debug_tint(self):
+        got, ref = self._run_pair(64, 64, radius=0.3, debug=True)
+        self._assert_close(got, ref)
+
+    def test_sharpen_debug_tint(self):
+        got, ref = self._run_pair(64, 64, radius=0.3, rs=1.0, debug=True)
+        self._assert_close(got, ref)
+
+    def test_upscale_matches_oracle_in_circle(self):
+        """The in-circle region of the pipeline output IS quantized
+        cas_upscale_oracle (radius 2 = whole frame)."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        h, w = 48, 56
+        frame = FR.zone_plate_frame(h, w)
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.8,
+                     radius=2.0, use_cas=True)
+        pipe = Pipeline(cfg, backend="xla")
+        out_w, out_h = cfg.output_size(w, h)
+        got = np.asarray(pipe.process(frame))
+        want_rgb = cas_upscale_oracle(frame[..., :3].astype(np.float32)
+                                      / np.float32(255.0),
+                                      0.8, out_w, out_h)
+        want = np.rint(FR.quantize_unorm(want_rgb)
+                       * np.float32(255.0)).astype(np.uint8)
+        # compiled-XLA FMA contraction can flip isolated rounding boundaries
+        # vs the eager NumPy oracle (same tier as the FSR golden tests)
+        d = np.abs(got[..., :3].astype(int) - want.astype(int))
+        assert (d == 0).mean() >= 0.999 and d.max() <= 1
+        assert (got[..., 3] == 255).all()
+
+    def test_half_precision_bounded(self):
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.8,
+                     radius=0.5, use_cas=True)
+        frames = np.stack([FR.zone_plate_frame(96, 130),
+                           FR.noise_frame(96, 130, seed=3)])
+        ref = Pipeline(cfg, backend="xla").process(frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=self._backend(),
+                       precision="half").process(frames, eyes=(0, 1))
+        d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+        assert (d <= 2).mean() >= 0.95 and d.max() <= 32
+
+    @pytest.mark.parametrize("rs", [0.75, 1.0])
+    def test_10bit(self, rs):
+        from openvr_fsr_tpu import Config, Pipeline
+
+        rng = np.random.default_rng(5)
+        frames = rng.integers(0, 1024, (2, 64, 72, 4), dtype=np.uint16)
+        frames[..., 3] = 3
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.8,
+                     radius=0.5, use_cas=True)
+        ref = Pipeline(cfg, backend="xla", color_bits=10).process(
+            frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=self._backend(), color_bits=10).process(
+            frames, eyes=(0, 1))
+        self._assert_close(np.asarray(got).astype(int),
+                           np.asarray(ref).astype(int))
+
+    def test_nis_cas_conflict_raises(self):
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=0.75, use_nis=True,
+                     use_cas=True)
+        with pytest.raises(ValueError):
+            Pipeline(cfg, backend="xla").process(FR.zone_plate_frame(32, 32))
+
+    def test_cfg_key_parses(self):
+        from openvr_fsr_tpu.core.config import load_config
+
+        cfg = load_config(text='{"fsr": {"enabled": true, "useCAS": true}}')
+        assert cfg.use_cas and cfg.enabled
+        # absent key defaults off (reference cfg files parse unchanged)
+        cfg = load_config(text='{"fsr": {"enabled": true}}')
+        assert not cfg.use_cas

@@ -69,7 +69,11 @@ def main():
     rows = []
 
     def report(name, **kw):
-        ms = bench(build(**kw))
+        try:
+            ms = bench(build(**kw))
+        except Exception as e:  # e.g. VMEM OOM on oversized band/chunk combos
+            print(f"{name:44s}  FAILED: {str(e)[:120]}", flush=True)
+            return
         rows.append((name, ms))
         print(f"{name:44s} {ms:7.3f} ms", flush=True)
 
