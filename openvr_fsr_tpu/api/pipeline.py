@@ -59,7 +59,7 @@ class Pipeline:
 
     def __init__(self, config: Config = None, eye_centers=None,
                  single_eye_per_frame=True, color_bits=None, backend="auto",
-                 precision="full"):
+                 precision="full", hdr_mode=0):
         self.config = config or Config(enabled=True)
         self.eye_centers = eye_centers or default_centers()
         self.single_eye_per_frame = single_eye_per_frame
@@ -67,6 +67,9 @@ class Pipeline:
         self.alpha_bits = 8 if self.color_bits == 8 else 2
         self.backend = backend  # auto | pallas | xla | pallas-interpret
         self.precision = precision  # full (oracle parity) | half (fp16 analog)
+        # NIS_HDR_MODE: 0 none (the mod's shipped build), 1 linear, 2 PQ
+        # (NIS_Scaler.h:112-116). Affects NIS paths only.
+        self.hdr_mode = int(hdr_mode)
         self._cache = {}
         self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
         self._log = get_logger()
@@ -214,7 +217,8 @@ class Pipeline:
         from ..kernels.nis import build_nvsharpen
 
         cfg = self.config
-        nis_cfg = C.nvsharpen_update_config(cfg.sharpness, w, h, w, h)
+        nis_cfg = C.nvsharpen_update_config(cfg.sharpness, w, h, w, h,
+                                            hdr_mode=self.hdr_mode)
         sharpen = build_nvsharpen(
             b, h, w, nis_cfg=nis_cfg, centres=self._centres_array(w, h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
@@ -248,7 +252,8 @@ class Pipeline:
         cfg = self.config
         out_w, out_h = cfg.output_size(w, h)
         nis_cfg = C.nvscaler_update_config(
-            cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
+            cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h,
+            hdr_mode=self.hdr_mode)
         scaler = build_nvscaler(
             b, h, w, out_w, out_h, nis_cfg=nis_cfg,
             centres=self._centres_array(out_w, out_h, eyes),
@@ -394,7 +399,8 @@ class Pipeline:
                 stages.append(("quantized_stage", jax.vmap(cas_up), mask_up))
             elif cfg.use_nis:
                 nis_cfg = C.nvscaler_update_config(
-                    cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h)
+                    cfg.sharpness, w, h, w, h, out_w, out_h, out_w, out_h,
+                    hdr_mode=self.hdr_mode)
                 if not nis_cfg.valid:
                     self._log.info(
                         "NIS scale factor outside the supported 0.5..1.0 window "
@@ -437,7 +443,8 @@ class Pipeline:
                 stages.append(("quantized_stage", jax.vmap(cas_sh), mask_sh))
             elif cfg.use_nis:
                 nis_cfg_sh = C.nvsharpen_update_config(
-                    cfg.sharpness, out_w, out_h, out_w, out_h)
+                    cfg.sharpness, out_w, out_h, out_w, out_h,
+                    hdr_mode=self.hdr_mode)
 
                 def nis_sh(rgba, mask):
                     out = nvsharpen_jax(rgba, nis_cfg_sh)
@@ -535,7 +542,7 @@ class Pipeline:
         else:
             eyes = tuple(int(e) for e in eyes)
         key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits,
-               self._resolve_backend(), self.precision)
+               self._resolve_backend(), self.precision, self.hdr_mode)
         fn = self._cache.get(key)
         if fn is None:
             self._log.info(

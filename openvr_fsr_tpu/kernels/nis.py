@@ -40,6 +40,19 @@ def _round_up(x, m):
     return -(-int(x) // m) * m
 
 
+def _get_y(r, g, b, hdr_mode):
+    """getY (NIS_Scaler.h:160-169) on decoded [0,1] planes: SDR BT.709,
+    HDR linear = sqrt(luma)*kHDRCompressionFactor, PQ = Rec.2020 weights.
+    (UNORM texture inputs put HDR-linear data off its natural fp16 range,
+    but the math is range-agnostic and matches the oracle bitwise.)"""
+    if hdr_mode == 2:
+        return F32(0.262) * r + F32(0.678) * g + F32(0.0593) * b
+    lin = F32(0.2126) * r + F32(0.7152) * g + F32(0.0722) * b
+    if hdr_mode == 1:
+        return jnp.sqrt(lin) * N.KHDR_COMPRESSION
+    return lin
+
+
 def _shift_clamp(plane, dy, dx, th, wp):
     """plane[(y+dy).clip, (x+dx).clip] for a (rows, wp) plane holding rows
     [-2, th+2) of the image band (already row-clamped by the gather); columns
@@ -159,8 +172,7 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         # row-select the +-2 band (one-hot matmul — integer texels, exact)
         sel = [_mm(rsel, band[c]) for c in range(4)]      # 4 x (TH_E, WP)
         dec = [s * inv_cmax for s in sel]
-        y01 = (F32(0.2126) * dec[0] + F32(0.7152) * dec[1]
-               + F32(0.0722) * dec[2])                    # (TH_E, WP)
+        y01 = _get_y(dec[0], dec[1], dec[2], cfg.hdr_mode)  # (TH_E, WP)
 
         yk = y01 if dt is F32 else y01.astype(jnp.bfloat16)
         p = [[_shift_clamp(yk, iy - 2, jx - 2, TH, WP)
@@ -199,7 +211,14 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         ms = mst_r[0, 0].astype(jnp.int32)               # (TH, WP)
         m_in = (ms == 1)[None]
         rgb_in = jnp.stack([d[2:2 + TH] for d in dec[:3]], 0)
-        sharp = rgb_in + usm_y[None]
+        if cfg.hdr_mode == 1:   # multiplicative luma fix (NIS_Scaler.h:951-959)
+            k_eps = F32(1e-4) * N.KHDR_COMPRESSION * N.KHDR_COMPRESSION
+            old_y = y01[2:2 + TH]
+            new_y = jnp.maximum(old_y + usm_y, F32(0.0))
+            corrm = (new_y * new_y + k_eps) / (old_y * old_y + k_eps)
+            sharp = rgb_in * corrm[None]
+        else:                   # SDR and PQ: additive (:961-963)
+            sharp = rgb_in + usm_y[None]
         if tint is not None:
             fb = jnp.stack([rgb_in[0], rgb_in[1] * tint[0],
                             rgb_in[2] * tint[1]], 0)
@@ -611,9 +630,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             # scaler-only band prologue: the exact 3-split luma plane (getY,
             # NIS_Scaler.h:167) and the circulant stage 1
             # W[j] = Boh @ Circ_j — skipped entirely for fully-outside bands
-            y01b = (F32(0.2126) * (band[0].astype(jnp.float32) * inv_cmax)
-                    + F32(0.7152) * (band[1].astype(jnp.float32) * inv_cmax)
-                    + F32(0.0722) * (band[2].astype(jnp.float32) * inv_cmax))
+            y01b = _get_y(band[0].astype(jnp.float32) * inv_cmax,
+                          band[1].astype(jnp.float32) * inv_cmax,
+                          band[2].astype(jnp.float32) * inv_cmax,
+                          cfg.hdr_mode)
             ysp = _split3(y01b)
             w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
                                    for j in range(NCIRC)], axis=0)
@@ -795,12 +815,25 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                         top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
                         bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
                         op.append(top * (one - ofy_t) + bot * ofy_t)
-                    corr = op_y * F32(1.0 / 255.0) - (
-                        F32(0.2126) * op[0] + F32(0.7152) * op[1]
-                        + F32(0.0722) * op[2])
-                    s_nis[0, :, c0:c0 + CHUNK] = op[0] + corr
-                    s_nis[1, :, c0:c0 + CHUNK] = op[1] + corr
-                    s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
+                    if cfg.hdr_mode == 1:  # multiplicative (NIS_Scaler.h:749-756)
+                        k_eps = F32(1e-4)
+                        k_norm = np.divide(
+                            F32(1.0), n255 * N.KHDR_COMPRESSION,
+                            dtype=np.float32)
+                        op_yn = jnp.maximum(op_y, F32(0.0)) * k_norm
+                        lin = (F32(0.2126) * op[0] + F32(0.7152) * op[1]
+                               + F32(0.0722) * op[2])      # getYLinear
+                        corr = (op_yn * op_yn + k_eps) / (
+                            jnp.maximum(lin, F32(0.0)) + k_eps)
+                        s_nis[0, :, c0:c0 + CHUNK] = op[0] * corr
+                        s_nis[1, :, c0:c0 + CHUNK] = op[1] * corr
+                        s_nis[2, :, c0:c0 + CHUNK] = op[2] * corr
+                    else:                  # SDR / PQ: additive (:758-761)
+                        corr = op_y * F32(1.0 / 255.0) - _get_y(
+                            op[0], op[1], op[2], cfg.hdr_mode)
+                        s_nis[0, :, c0:c0 + CHUNK] = op[0] + corr
+                        s_nis[1, :, c0:c0 + CHUNK] = op[1] + corr
+                        s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
                     s_nis[3, :, c0:c0 + CHUNK] = op[3]
 
                 pl.when(tcls < 2)(

@@ -74,7 +74,8 @@ class ShardedPipeline:
         # the stale compiled fn
         key = ("shard", local_b, h, w, str(frames.dtype), pattern,
                self.pipeline.config, self.pipeline.color_bits,
-               self.pipeline._resolve_backend(), self.pipeline.precision, n)
+               self.pipeline._resolve_backend(), self.pipeline.precision,
+               self.pipeline.hdr_mode, n)
         fn = self.pipeline._cache.get(key)
         if fn is None:
             local_fn = self.pipeline._build(local_b, h, w, pattern)

@@ -202,3 +202,38 @@ class TestHalfPrecisionAllPaths:
         # same edge-classification cliff as NVSharpen: quantile-bounded
         d = self._run(rs=0.75, use_nis=True)
         assert (d <= 2).mean() >= 0.95 and (d <= 32).mean() >= 0.999
+
+
+class TestNisHdrKernels:
+    """hdr_mode wired through both NIS Pallas kernels (NIS_Scaler.h:112-118):
+    kernel output must match the XLA pipeline, which test_nis.TestHdrModes
+    pins to the oracle bitwise."""
+
+    @pytest.mark.parametrize("hdr_mode,rs", [
+        (1, 0.75), (2, 0.75),   # NVScaler
+        (1, 1.0), (2, 1.0),     # NVSharpen
+    ])
+    def test_hdr_matches_xla(self, hdr_mode, rs):
+        frames = np.stack([FR.zone_plate_frame(96, 130),
+                           FR.noise_frame(96, 130, seed=3)])
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.6, radius=0.5,
+                     use_nis=True)
+        ref = Pipeline(cfg, backend="xla", hdr_mode=hdr_mode).process(
+            frames, eyes=(0, 1))
+        got = Pipeline(cfg, backend=_backend(), hdr_mode=hdr_mode).process(
+            frames, eyes=(0, 1))
+        d = np.abs(np.asarray(got).astype(int) - np.asarray(ref).astype(int))
+        assert (d == 0).mean() >= 0.99, (
+            f"only {(d == 0).mean():.6f} bit-equal, max {d.max()}")
+        assert d.max() <= 16
+
+    def test_hdr_mode_respected_in_cache(self):
+        """Mutating hdr_mode between calls must re-specialize."""
+        f = FR.zone_plate_frame(64, 72)
+        cfg = Config(enabled=True, render_scale=1.0, sharpness=0.9,
+                     radius=2.0, use_nis=True)
+        pipe = Pipeline(cfg, backend="xla")
+        a = np.asarray(pipe.process(f))
+        pipe.hdr_mode = 2
+        b = np.asarray(pipe.process(f))
+        assert not np.array_equal(a, b)
