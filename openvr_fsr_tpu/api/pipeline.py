@@ -45,6 +45,22 @@ def _tint(debug):
     return np.array([1.0, 1.0 - 0.3 * d, 1.0 - 0.3 * d, 1.0], np.float32)
 
 
+def _packed_run(kern):
+    """8-bit IO wrapper for the Pallas kernels (which consume/produce
+    (B, H, W) uint32 bitcast-RGBA8 planes). uint8 NHWC frames are bitcast
+    at the boundary; uint32 frames pass through zero-copy — the TPU tiles
+    u8 as (32, 128) but u32 as (8, 128), so skipping the bitcast skips an
+    XLA relayout pass on both sides."""
+    def run(frames):
+        x = jnp.asarray(frames)
+        if x.dtype == jnp.uint32:            # zero-copy packed plane
+            return kern(x if x.ndim == 3 else x[None])
+        x = x if x.ndim == 4 else x[None]
+        packed = jax.lax.bitcast_convert_type(x, jnp.uint32)
+        return jax.lax.bitcast_convert_type(kern(packed), jnp.uint8)
+    return run
+
+
 class Pipeline:
     """Stateful stereo post-processing pipeline.
 
@@ -165,15 +181,10 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            # packed-u32 IO: RGBA8 frames bitcast to one u32 plane (free), the
-            # kernel unpacks/packs channels with integer shifts — no
-            # NHWC<->planar transpose anywhere
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                out = fused(packed)
-                return jax.lax.bitcast_convert_type(out, jnp.uint8)
+            # packed-u32 IO: RGBA8 frames bitcast to one u32 plane (or taken
+            # zero-copy when already uint32), the kernel unpacks/packs
+            # channels with integer shifts — no NHWC<->planar transpose
+            run = _packed_run(fused)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -198,11 +209,7 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+            run = _packed_run(sharpen)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -226,11 +233,7 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+            run = _packed_run(sharpen)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -262,11 +265,7 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                return jax.lax.bitcast_convert_type(scaler(packed), jnp.uint8)
+            run = _packed_run(scaler)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -296,11 +295,7 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                return jax.lax.bitcast_convert_type(scaler(packed), jnp.uint8)
+            run = _packed_run(scaler)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -326,11 +321,7 @@ class Pipeline:
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
         if color_bits == 8:
-            def run(frames):
-                x = frames if frames.ndim == 4 else frames[None]
-                packed = jax.lax.bitcast_convert_type(
-                    jnp.asarray(x), jnp.uint32)
-                return jax.lax.bitcast_convert_type(sharpen(packed), jnp.uint8)
+            run = _packed_run(sharpen)
         else:
             def run(frames):
                 x = frames if frames.ndim == 4 else frames[None]
@@ -467,6 +458,10 @@ class Pipeline:
                 stages.append(("quantized_stage", jax.vmap(fsr_sh), mask_sh))
 
         def run(frames):
+            frames = jnp.asarray(frames)
+            packed = frames.dtype == jnp.uint32   # packed-u32 API mode
+            if packed:
+                frames = jax.lax.bitcast_convert_type(frames, jnp.uint8)
             x = to_planar(frames, color_bits)
             for idx, (_, stage, mask) in enumerate(stages):
                 x = stage(x, mask)
@@ -479,7 +474,9 @@ class Pipeline:
                     alp = jnp.round(jnp.clip(x[:, 3:], 0.0, 1.0) * ascale) * (
                         F32(1.0) / ascale)
                     x = jnp.concatenate([col, alp], axis=1)
-            return from_planar(x, color_bits, alpha_bits)
+            out = from_planar(x, color_bits, alpha_bits)
+            return (jax.lax.bitcast_convert_type(out, jnp.uint32)
+                    if packed else out)
 
         return jax.jit(run)
 
@@ -509,7 +506,10 @@ class Pipeline:
         return out[..., y0:y1, x0:x1, :]
 
     def process(self, frames, eyes=None, bounds=None, crop=False):
-        """frames: (B, H, W, 4) or (H, W, 4) uint8 (or uint16 for 10-bit).
+        """frames: (B, H, W, 4) or (H, W, 4) uint8 (or uint16 for 10-bit),
+          or — zero-copy packed mode — (B, H, W) / (H, W) uint32 holding
+          bitcast RGBA8 texels (little-endian, R in the low byte); the
+          result is then packed uint32 too and no u8<->u32 relayout runs.
         eyes: per-entry eye index (default alternating 0,1,...).
         bounds: optional VRTextureBounds_t (uMin, vMin, uMax, vMax), or a
           per-entry sequence of them. Like the reference (PostProcessor.cpp:
@@ -534,7 +534,15 @@ class Pipeline:
                 self.single_eye_per_frame = one_eye
                 self.timer = GpuTimer(scale_for_stereo=one_eye)
                 self.reset()
-        squeeze = hasattr(frames, "ndim") and frames.ndim == 3
+        # zero-copy packed mode: uint32 frames are bitcast RGBA8 planes
+        # (B, H, W) — the kernels consume/produce this layout natively, so
+        # no u8<->u32 relayout happens anywhere (8-bit only)
+        packed_in = (getattr(frames, "dtype", None) is not None
+                     and np.dtype(frames.dtype) == np.uint32)
+        if packed_in and self.color_bits != 8:
+            raise ValueError("packed-u32 frames require color_bits=8")
+        squeeze = hasattr(frames, "ndim") and frames.ndim == (
+            2 if packed_in else 3)
         shape = frames.shape if not squeeze else (1,) + frames.shape
         b, h, w = shape[0], shape[1], shape[2]
         if eyes is None:

@@ -335,10 +335,24 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # + 2 bilinear) for the whole band width, stored as mm_dtype so the
         # per-chunk column matmuls consume it directly. Texels are integers
         # <= cmax, so the bf16 round-trip is exact (8-bit path).
+        # Gated by band class: bands fully outside the circle gather only
+        # the 2 bilinear blocks (a third of the matmul rows), fully-inside
+        # bands only the 4 EASU blocks — this matmul is the dominant term
+        # of the per-band floor (tools/profile_fsr.py "dma+write only").
         r_all = rst_r[0]                                # (N_ROW, IH)
-        for c in range(3):
-            g = _mm(r_all, inp_full(c))                 # (N_ROW, WP) f32
-            g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
+
+        def _gather_rows(lo, hi):
+            for c in range(3):
+                g = _mm(r_all[lo:hi], inp_full(c))      # (hi-lo, WP) f32
+                g_rows[c * N_ROW + lo:c * N_ROW + hi] = g.astype(g_rows.dtype)
+
+        if _NO_GATING:
+            _gather_rows(0, N_ROW)
+        else:
+            bcls0 = bcls_ref[step]
+            pl.when(bcls0 == 1)(lambda: _gather_rows(0, N_ROW))
+            pl.when(bcls0 == 2)(lambda: _gather_rows(0, N_EASU))
+            pl.when(bcls0 == 0)(lambda: _gather_rows(N_EASU, N_ROW))
 
         # ---- chunk loop: one column matmul per path + per-chunk EASU core ---
         # The (3ch x 4dy)-stacked rows against the (4dx)-stacked column

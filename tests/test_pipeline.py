@@ -264,3 +264,42 @@ class TestTextureBounds:
         f = FR.gradient_frame(24, 24)
         out = upscale(f, render_scale=0.75, bounds=(0, 0, 1, 1), crop=True)
         assert out.shape[:2] == (32, 32)
+
+
+class TestPackedU32Api:
+    """Zero-copy packed-u32 API mode: (B, H, W) uint32 frames (bitcast
+    RGBA8) in, packed uint32 out — bit-identical to the uint8 NHWC path on
+    both backends."""
+
+    def _frames(self):
+        f = np.stack([FR.zone_plate_frame(96, 130),
+                      FR.noise_frame(96, 130, seed=3)])
+        return f, f.view(np.uint32)[..., 0]
+
+    @pytest.mark.parametrize("backend", ["xla", None])
+    def test_matches_u8_path(self, backend):
+        import jax
+        if backend is None:
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       else "pallas-interpret")
+        u8, u32 = self._frames()
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        pipe = Pipeline(cfg, backend=backend)
+        a = np.asarray(pipe.process(u8, eyes=(0, 1)))
+        b = np.asarray(pipe.process(u32, eyes=(0, 1)))
+        assert b.dtype == np.uint32 and b.ndim == 3
+        assert np.array_equal(a.view(np.uint32)[..., 0], b)
+
+    def test_single_packed_frame_squeezes(self):
+        u8, u32 = self._frames()
+        cfg = Config(enabled=True, render_scale=1.0, sharpness=0.9, radius=2.0)
+        pipe = Pipeline(cfg, backend="xla")
+        out = np.asarray(pipe.process(u32[0]))
+        assert out.dtype == np.uint32 and out.ndim == 2
+
+    def test_packed_10bit_rejected(self):
+        _, u32 = self._frames()
+        cfg = Config(enabled=True, render_scale=1.0)
+        with pytest.raises(ValueError):
+            Pipeline(cfg, backend="xla", color_bits=10).process(u32)

@@ -72,3 +72,61 @@ class TestShardedPipeline:
         pipe.precision = "half"
         sp.process(frames, eyes=(0,) * 8)
         assert len(pipe._cache) == n0 + 2
+
+
+class Test8KStretchConfig:
+    """The batch=32 8K sharded stretch config (BASELINE.json config 5).
+    CI-sized pieces: (a) the fused kernel BUILDS at true 8K geometry with
+    VMEM-fitting band auto-shrink; (b) the full-width 7680-column kernel
+    executes (interpret, short bands); (c) the sharded batch mechanics run
+    at the 8K aspect on the 8-device mesh. The full-size single-chip run is
+    recorded in BENCH_8K.json (TPU v5e: 15.1 ms/frame, 2199 Mpix/s/chip)."""
+
+    def test_8k_kernel_builds_with_vmem_fit(self):
+        from openvr_fsr_tpu.kernels.fsr import build_fsr_fused
+        from openvr_fsr_tpu.core import constants as C
+
+        out_w, out_h = 7680, 4320
+        in_w, in_h = 5760, 3240            # renderScale 0.75
+        fc = C.foveation_constants(out_w, out_h, 2.0, (0.5, 0.5), (0.5, 0.5),
+                                   False)
+        centres = np.asarray(
+            [[*fc.centre_left, *fc.centre_right, fc.radius_sq]], np.int64)
+        # construction builds every host-side map at full 8K geometry; the
+        # band auto-shrink must kick in (band 128 at 7680-wide scratches
+        # would blow the 24 MB scratch budget)
+        fn = build_fsr_fused(1, in_h, in_w, out_w, out_h, sharpness=0.9,
+                             centres=centres)
+        assert fn is not None
+
+    def test_8k_width_executes(self):
+        """Full 7680-column output width through the real kernel path
+        (interpret): exercises the 60-chunk loop and the row-window maps at
+        stretch-config width with a short frame."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        in_h, in_w = 24, 5760              # -> 32 x 7680
+        frames = _frames(1, in_h, in_w)
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=2.0)
+        ref = np.asarray(Pipeline(cfg, backend="xla").process(frames))
+        got = np.asarray(Pipeline(cfg, backend="pallas-interpret")
+                         .process(frames))
+        assert got.shape == (1, 32, 7680, 4)
+        d = np.abs(got.astype(int) - ref.astype(int))
+        assert (d == 0).mean() >= 0.99 and d.max() <= 16
+
+    def test_8k_aspect_sharded_batch(self, mesh):
+        """batch=16 at the 8K aspect ratio sharded over the mesh == local
+        (local batch 2 so the stereo eye pattern repeats per shard)."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        frames = _frames(16, 27, 48)       # 16:9, rs 0.75 -> 36 x 64
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        eyes = tuple(i % 2 for i in range(16))
+        ref = np.asarray(Pipeline(cfg, backend="xla")
+                         .process(frames, eyes=eyes))
+        out = np.asarray(ShardedPipeline(Pipeline(cfg, backend="xla"), mesh)
+                         .process(frames, eyes=eyes))
+        assert np.array_equal(out, ref)
