@@ -75,7 +75,7 @@ class Pipeline:
 
     def __init__(self, config: Config = None, eye_centers=None,
                  single_eye_per_frame=True, color_bits=None, backend="auto",
-                 precision="full", hdr_mode=0):
+                 precision="full", hdr_mode=0, cas_max_color_delta=1.0):
         self.config = config or Config(enabled=True)
         self.eye_centers = eye_centers or default_centers()
         self.single_eye_per_frame = single_eye_per_frame
@@ -86,6 +86,10 @@ class Pipeline:
         # NIS_HDR_MODE: 0 none (the mod's shipped build), 1 linear, 2 PQ
         # (NIS_Scaler.h:112-116). Affects NIS paths only.
         self.hdr_mode = int(hdr_mode)
+        # CasSetup maxColorDelta (ffx_cas.h:379, 1 = unlimited sharpening);
+        # clamps the sharpen-only CAS path only (:876-878 skips it when
+        # scaling). Affects CAS mode only.
+        self.cas_max_color_delta = float(cas_max_color_delta)
         self._cache = {}
         self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
         self._log = get_logger()
@@ -317,6 +321,7 @@ class Pipeline:
             b, h, w, sharpness=cfg.sharpness,
             centres=self._centres_array(w, h, eyes),
             color_bits=self.color_bits, debug=cfg.debug_mode,
+            max_color_delta=self.cas_max_color_delta,
             precision=self.precision, interpret=interpret)
         color_bits, alpha_bits = self.color_bits, self.alpha_bits
 
@@ -423,9 +428,10 @@ class Pipeline:
             mask_sh = jnp.asarray(self._masks(out_w, out_h, sh_tile, eyes))
             if cfg.use_cas:
                 from ..ops.cas import cas_sharpen_jax
+                mcd = self.cas_max_color_delta
 
                 def cas_sh(rgba, mask):
-                    sh = cas_sharpen_jax(rgba[:3], cfg.sharpness)
+                    sh = cas_sharpen_jax(rgba[:3], cfg.sharpness, mcd)
                     fb = rgba * jnp.asarray(tint)[:, None, None]
                     rgb = jnp.where(mask[None], sh, fb[:3])
                     alpha = jnp.where(mask[None], jnp.float32(1.0), fb[3:4])
@@ -550,7 +556,8 @@ class Pipeline:
         else:
             eyes = tuple(int(e) for e in eyes)
         key = (b, h, w, str(frames.dtype), eyes, self.config, self.color_bits,
-               self._resolve_backend(), self.precision, self.hdr_mode)
+               self._resolve_backend(), self.precision, self.hdr_mode,
+               self.cas_max_color_delta)
         fn = self._cache.get(key)
         if fn is None:
             self._log.info(

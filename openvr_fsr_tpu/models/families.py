@@ -2,14 +2,10 @@
 
 Each family is a thin, stateful facade with the family's own knobs; heavy
 lifting (jit caching, kernel selection, foveation, formats) stays in
-api.Pipeline. CAS has no pipeline mode in the current reference build
-(SURVEY.md §2: absent from src/CMakeLists.txt:58-90), so CasModel drives the
-op directly.
+api.Pipeline — including CAS, a full pipeline mode since `Config.use_cas`
+(the reference keeps ffx_cas.h in-tree but out of the build,
+src/CMakeLists.txt:58-90; here it is first-class).
 """
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 from ..api.pipeline import Pipeline
 from ..core.config import Config
@@ -19,16 +15,19 @@ __all__ = ["FsrModel", "NisModel", "CasModel", "get_model", "MODELS"]
 
 class _PipelineModel:
     _use_nis = False
+    _use_cas = False
 
     def __init__(self, render_scale=0.77, sharpness=0.9, radius=0.5,
                  debug=False, eye_centers=None, color_bits=None,
-                 backend="auto"):
+                 backend="auto", **pipeline_kw):
         cfg = Config(enabled=True, use_nis=self._use_nis,
+                     use_cas=self._use_cas,
                      render_scale=float(render_scale),
                      sharpness=float(sharpness), radius=float(radius),
                      debug_mode=bool(debug))
         self.pipeline = Pipeline(cfg, eye_centers=eye_centers,
-                                 color_bits=color_bits, backend=backend)
+                                 color_bits=color_bits, backend=backend,
+                                 **pipeline_kw)
 
     @property
     def config(self):
@@ -56,39 +55,20 @@ class NisModel(_PipelineModel):
     _use_nis = True
 
 
-class CasModel:
-    """FFX CAS sharpen-only (ops/cas.py; oracle in oracle/cas.py)."""
+class CasModel(_PipelineModel):
+    """AMD FidelityFX CAS: one CasFilter pass — contrast-adaptive sharpen
+    at renderScale == 1 (noScaling, ffx_cas.h:430-552, with the
+    maxColorDelta clamp), sharpen-and-upscale otherwise (:552-892,
+    <= 4x area). Full pipeline features: foveation, debug tint, kernels,
+    half precision, 10-bit, sharding."""
 
-    def __init__(self, sharpness=0.8, max_color_delta=1.0):
-        self.sharpness = float(sharpness)
-        self.max_color_delta = float(max_color_delta)
-        self._cache = {}
+    _use_cas = True
 
-    def __call__(self, frames):
-        """frames: (H, W, 4|3) or (B, H, W, 4|3) uint8. Returns sharpened
-        uint8 RGB(A) at the same size (alpha passes through)."""
-        from ..ops.cas import cas_sharpen_jax
-        from ..utils.frames import to_planar, from_planar
-
-        frames = np.asarray(frames)
-        squeeze = frames.ndim == 3
-        x = frames[None] if squeeze else frames
-        key = (x.shape, str(x.dtype), self.sharpness, self.max_color_delta)
-        fn = self._cache.get(key)
-        if fn is None:
-            sharp, mcd = self.sharpness, self.max_color_delta
-
-            def run(f):
-                planar = to_planar(f)
-                rgb = jax.vmap(lambda p: cas_sharpen_jax(p[:3], sharp, mcd))(
-                    planar)
-                return from_planar(
-                    jnp.concatenate([rgb, planar[:, 3:]], axis=1))
-
-            fn = jax.jit(run)
-            self._cache[key] = fn
-        out = fn(x)
-        return out[0] if squeeze else out
+    def __init__(self, render_scale=1.0, sharpness=0.8, radius=2.0,
+                 max_color_delta=1.0, **kw):
+        super().__init__(render_scale=render_scale, sharpness=sharpness,
+                         radius=radius,
+                         cas_max_color_delta=max_color_delta, **kw)
 
 
 MODELS = {"fsr": FsrModel, "nis": NisModel, "cas": CasModel}

@@ -245,3 +245,19 @@ class TestCasPipeline:
         # absent key defaults off (reference cfg files parse unchanged)
         cfg = load_config(text='{"fsr": {"enabled": true}}')
         assert not cfg.use_cas
+
+    def test_max_color_delta_through_pipeline(self):
+        """CasSetup maxColorDelta (ffx_cas.h:379) clamps the sharpen-only
+        path — kernel matches XLA and the clamp actually bites."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        frames = FR.noise_frame(64, 72, seed=4)[None]
+        cfg = Config(enabled=True, render_scale=1.0, sharpness=1.0,
+                     radius=2.0, use_cas=True)
+        a = np.asarray(Pipeline(cfg, backend="xla",
+                                cas_max_color_delta=0.01).process(frames))
+        b = np.asarray(Pipeline(cfg, backend=self._backend(),
+                                cas_max_color_delta=0.01).process(frames))
+        self._assert_close(b.astype(int), a.astype(int))
+        full = np.asarray(Pipeline(cfg, backend="xla").process(frames))
+        assert not np.array_equal(a, full)   # the clamp changed the output
