@@ -499,10 +499,20 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
 
         qv = dec[:3]
-        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
-        qx = jnp.concatenate([padl, qv, padl], axis=2)  # CasLoad OOB -> zero
-        taps = {(dy, dx): qx[:, 1 + dy:1 + dy + TH, 1 + dx:1 + dx + WP]
-                for dy in (-1, 0, 1) for dx in (-1, 0, 1)}
+        # CasLoad zero-OOB taps via lane rotates (see kernels/fsr.py
+        # epilogue): wrapped lanes land on zeroed pad columns when WP > W,
+        # masked explicitly otherwise.
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (3, TH, WP), 2)
+                if WP == W else None)
+        taps = {}
+        for dy in (-1, 0, 1):
+            r = qv[:, 1 + dy:1 + dy + TH]
+            lf = pltpu.roll(r, 1, 2)
+            rt = pltpu.roll(r, WP - 1, 2)
+            if lane is not None:
+                lf = jnp.where(lane == 0, F32(0.0), lf)
+                rt = jnp.where(lane == WP - 1, F32(0.0), rt)
+            taps[dy, -1], taps[dy, 0], taps[dy, 1] = lf, r, rt
         e = taps[0, 0]
         sh = cas_core(taps, sharp, max_color_delta,
                       dt=core_dt).astype(jnp.float32)

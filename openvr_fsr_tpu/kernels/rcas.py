@@ -147,12 +147,18 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
 
         qv = dec[:3]
-        padl = jnp.zeros((3, TH_E, 1), jnp.float32)
-        qx = jnp.concatenate([padl, qv, padl], axis=2)   # Load() OOB -> zero
-        e = qx[:, 1:1 + TH, 1:1 + WP]
+        # Load() zero-OOB horizontal taps via lane rotates (see
+        # kernels/fsr.py epilogue): wrapped lanes land on zeroed pad
+        # columns when WP > W, masked explicitly otherwise.
+        e = qv[:, 1:1 + TH]
+        d_t = pltpu.roll(e, 1, 2)
+        f_t = pltpu.roll(e, WP - 1, 2)
+        if WP == W:
+            lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
+            d_t = jnp.where(lane == 0, F32(0.0), d_t)
+            f_t = jnp.where(lane == WP - 1, F32(0.0), f_t)
         sh = rcas_core(
-            qx[:, 0:TH, 1:1 + WP], qx[:, 1:1 + TH, 0:WP], e,
-            qx[:, 1:1 + TH, 2:2 + WP], qx[:, 2:2 + TH, 1:1 + WP], sharp_lin,
+            qv[:, 0:TH], d_t, e, f_t, qv[:, 2:2 + TH], sharp_lin,
             dt=core_dt).astype(jnp.float32)
         m_in = (ms[1:1 + TH] == 1)[None]
         if tint is not None:

@@ -244,10 +244,17 @@ def main():
     fconcat = skeleton(body_concat, extra_scratch=[
         pltpu.VMEM((3, TH_E, OWP), jnp.float32)])
 
-    # --- E: lane interleave 4 -> 1 ----------------------------------------
+    # --- E: lane interleave 4 -> 1 (phase-major planes -> column-major) ----
+    # measures what a phase-decomposed kernel would pay to interleave its 4
+    # per-phase output planes back into pixel order inside the kernel
     def body_inter(band, _ins, out_ref, scratch):
-        planes = [(band[:TH, k * 576:(k + 1) * 576]) for k in range(4)]
-        st = jnp.stack(planes, axis=-1)          # (TH, 576, 4)
+        q = OWP // 4                              # 576 cols per phase plane
+        src = (band[:8, :].astype(jnp.int32) & 255).astype(jnp.uint32)
+        base = jnp.broadcast_to(
+            src[None], ((TH + 7) // 8, 8, WP)).reshape(-1, WP)[:TH]
+        wide = jnp.concatenate([base, base[:, :OWP - WP]], axis=1)
+        planes = [wide[:, k * q:(k + 1) * q] for k in range(4)]
+        st = jnp.stack(planes, axis=-1)           # (TH, 576, 4)
         out_ref[0] = st.reshape(TH, OWP)
 
     finter = skeleton(body_inter)
@@ -257,8 +264,16 @@ def main():
     print(f"5-tap cross via pltpu.roll:  {bench(froll):7.3f} ms", flush=True)
     print(f"5-tap cross via concat+slice:{bench(fconcat):7.3f} ms",
           flush=True)
-    print(f"lane interleave 4->2304:     {bench(finter):7.3f} ms",
-          flush=True)
+    try:
+        print(f"lane interleave 4->2304:     {bench(finter):7.3f} ms",
+              flush=True)
+    except Exception as e:
+        # The load-bearing finding for the phase-decomposed kernel idea:
+        # Mosaic cannot lane-stride ('unsupported shape cast'), so phase
+        # interleaving must happen as XLA ops outside the kernel
+        # (tools/microbench3.py measures that cost instead).
+        print(f"lane interleave 4->2304:     unsupported by Mosaic "
+              f"({str(e).splitlines()[0][:60]}...)", flush=True)
 
 
 if __name__ == "__main__":
