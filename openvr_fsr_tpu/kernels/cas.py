@@ -95,7 +95,6 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     tint = (F32(0.7), F32(0.7)) if debug else None
 
     packed_io = exact_bf16
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
     row_align = 8
@@ -419,7 +418,6 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     tint = (F32(0.7), F32(0.7)) if debug else None
 
     packed_io = exact_bf16
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
     row_align = 8

@@ -11,23 +11,28 @@ compute dispatches plus an intermediate texture round-trip
   4. the foveated-radius select with bilinear fallback + debug tint
      (src/fsr/fsr_easu.hlsl:38-64, fsr_rcas.hlsl:23-55).
 
-TPU-first design (v2 — full-width row bands, static column chunks):
+TPU-first design (v3 — band row-gather prologue, stacked column matmuls):
 
   * Grid is (batch, row_band). Each band DMAs a full-width window of input
     rows HBM->VMEM (double-buffered across bands). Row-only windows need no
     x offset, so there is no lane-alignment slack anywhere: the gather
     matmuls run at their minimal inner dimension.
+  * The row gather runs ONCE per band per channel: a stacked one-hot
+    matmul stages all 4 EASU dy blocks + the 2 bilinear rows (sublane-
+    padded) into a VMEM scratch, gated by band class (fully-outside bands
+    gather only the bilinear blocks, fully-inside only the EASU blocks).
   * Inside the kernel a *static* Python loop walks 128-column chunks. All
-    slicing is static, so Mosaic sees fixed shapes: per chunk the 12-tap
-    gather is two one-hot matmul-gathers on the MXU (rows, then columns
-    against a ~Kc-wide input sub-window). Texels are integer-valued and
-    <= 255, hence bf16-exact: bf16 one-hot matmuls with f32 accumulation
-    reproduce the gather bit-exactly, and the UNORM decode (k * 1/255)
-    happens after the gather, matching utils.frames.to_planar. (10-bit
-    inputs exceed bf16 integer range and use f32 HIGHEST matmuls instead.)
-  * Stage-1 output is quantized and parked in a bf16 band scratch (codes
-    are integers, bf16-exact); a second chunk loop decodes 5-tap slices and
-    applies RCAS — the EASU->RCAS handoff never leaves VMEM.
+    slicing is static, so Mosaic sees fixed shapes: per chunk ONE matmul
+    against the 4-dx-stacked column one-hot yields all 16 (dy,dx) tap
+    combinations; the 12 EASU taps are vreg-aligned slices. Texels are
+    integer-valued and <= 255, hence bf16-exact: bf16 one-hot matmuls with
+    f32 accumulation reproduce the gather bit-exactly, and the UNORM
+    decode (k * 1/255) happens after the gather, matching
+    utils.frames.to_planar. (10-bit inputs exceed bf16 integer range and
+    use f32 HIGHEST matmuls instead.)
+  * The band epilogue quantizes stage 1 to the UNORM grid in-register (the
+    reference's intermediate texture) and applies RCAS with lane-rotate
+    horizontal taps — the EASU->RCAS handoff never leaves VMEM.
   * The foveation circle is evaluated per 16x16 group exactly like the HLSL
     (integer centre/radius math); whole 128x128 chunks skip the EASU
     matmuls / bilinear / RCAS via a per-chunk class (0=all outside,
@@ -157,7 +162,6 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     tint = (F32(0.7), F32(0.7)) if debug else None  # g,b multipliers
 
     packed_io = exact_bf16              # u32-packed RGBA8 IO fast path
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     row_align = 8                        # (8,128) tiling for u32 and f32
     HP = _round_up(H, row_align)         # row-sliced DMA: rows align to sublane
     WP = _round_up(W, 128)               # ...and the full copy width to lanes

@@ -96,7 +96,6 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
     cfg = nis_cfg
 
     packed_io = exact_bf16
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
     row_align = 8
@@ -385,7 +384,6 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     cast = (lambda x: x) if dt is F32 else (lambda x: x.astype(jnp.bfloat16))
 
     packed_io = exact_bf16
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     # one-hots and split-luma planes are bf16-exact, but the raw RGB band
     # planes fed to the bilinear-tap gathers are integer texels: exact in
     # bf16 only up to 8 bits. 10-bit texels need f32 operands (+ HIGHEST).

@@ -64,7 +64,6 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     tint = (F32(0.7), F32(0.7)) if debug else None
 
     packed_io = exact_bf16
-    in_dtype = jnp.uint32 if packed_io else jnp.float32
     mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
     mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
     row_align = 8

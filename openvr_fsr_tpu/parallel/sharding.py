@@ -34,8 +34,9 @@ def shard_batch(arr, mesh, axis="batch"):
 class ShardedPipeline:
     """Batch-data-parallel wrapper around api.Pipeline.
 
-    frames (B, H, W, 4) with B a multiple of mesh size: each device processes
-    B/n frames with the identical per-frame program; outputs stay sharded.
+    frames (B, H, W, 4) — or (B, H, W) uint32 in the zero-copy packed mode —
+    with B a multiple of mesh size: each device processes B/n frames with
+    the identical per-frame program; outputs stay sharded.
     """
 
     def __init__(self, pipeline, mesh=None):
@@ -52,6 +53,8 @@ class ShardedPipeline:
         from jax.sharding import PartitionSpec
 
         frames = jnp.asarray(frames)
+        if frames.dtype == jnp.uint32 and self.pipeline.color_bits != 8:
+            raise ValueError("packed-u32 frames require color_bits=8")
         b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         n = self.mesh.devices.size
         if b % n != 0:
@@ -79,7 +82,7 @@ class ShardedPipeline:
         fn = self.pipeline._cache.get(key)
         if fn is None:
             local_fn = self.pipeline._build(local_b, h, w, pattern)
-            spec = PartitionSpec(axis, None, None, None)
+            spec = PartitionSpec(axis, *([None] * (frames.ndim - 1)))
             # check_vma=False: pallas_call out_shapes carry no vma metadata
             fn = jax.jit(jax.shard_map(local_fn, mesh=self.mesh,
                                        in_specs=(spec,), out_specs=spec,

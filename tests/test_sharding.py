@@ -130,3 +130,21 @@ class Test8KStretchConfig:
         out = np.asarray(ShardedPipeline(Pipeline(cfg, backend="xla"), mesh)
                          .process(frames, eyes=eyes))
         assert np.array_equal(out, ref)
+
+
+class TestShardedPackedU32:
+    def test_packed_matches_u8(self, mesh):
+        """Zero-copy packed-u32 frames shard and process identically to the
+        uint8 NHWC path."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        u8 = _frames(16)
+        u32 = u8.view(np.uint32)[..., 0]
+        eyes = tuple(i % 2 for i in range(16))
+        sp = ShardedPipeline(Pipeline(cfg, backend="xla"), mesh)
+        a = np.asarray(sp.process(u8, eyes=eyes))
+        b = np.asarray(sp.process(u32, eyes=eyes))
+        assert b.dtype == np.uint32 and b.ndim == 3
+        assert np.array_equal(a.view(np.uint32)[..., 0], b)
