@@ -29,6 +29,13 @@
 
 extern "C" {
 
+// ABI version of this library. Bump whenever any exported signature
+// changes (e.g. the `cap` parameter added to ovrfsr_ring_pop); the Python
+// loader (native_rt.lib) refuses to bind a stale prebuilt .so whose
+// version (or absence of this symbol) does not match, and rebuilds.
+#define OVRFSR_ABI_VERSION 2
+int ovrfsr_abi_version(void) { return OVRFSR_ABI_VERSION; }
+
 // ---------------------------------------------------------------------------
 // 1. JSON-with-comments config scanner (jsoncpp/Config::Load analog)
 // ---------------------------------------------------------------------------

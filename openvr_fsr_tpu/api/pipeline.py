@@ -56,6 +56,9 @@ def _packed_run(kern):
         if x.dtype == jnp.uint32:            # zero-copy packed plane
             return kern(x if x.ndim == 3 else x[None])
         x = x if x.ndim == 4 else x[None]
+        if x.shape[-1] == 3:                 # RGB input: opaque alpha
+            x = jnp.concatenate(
+                [x, jnp.full(x.shape[:-1] + (1,), 255, x.dtype)], axis=-1)
         packed = jax.lax.bitcast_convert_type(x, jnp.uint32)
         return jax.lax.bitcast_convert_type(kern(packed), jnp.uint8)
     return run
@@ -504,11 +507,16 @@ class Pipeline:
         equivalent of that sampling region. Flipped bounds (vMin > vMax,
         used by OpenGL-convention games) select the same rectangle."""
         u0, v0, u1, v1 = (float(x) for x in bounds)
-        h, w = int(out.shape[-3]), int(out.shape[-2])
+        # packed-u32 outputs have no trailing channel dim: (..., H, W) u32
+        packed = np.dtype(out.dtype) == np.uint32
+        hax, wax = (-2, -1) if packed else (-3, -2)
+        h, w = int(out.shape[hax]), int(out.shape[wax])
         x0, x1 = sorted((int(round(u0 * w)), int(round(u1 * w))))
         y0, y1 = sorted((int(round(v0 * h)), int(round(v1 * h))))
         x0, x1 = max(x0, 0), min(x1, w)
         y0, y1 = max(y0, 0), min(y1, h)
+        if packed:
+            return out[..., y0:y1, x0:x1]
         return out[..., y0:y1, x0:x1, :]
 
     def process(self, frames, eyes=None, bounds=None, crop=False):

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import foveation as fov
 from ..ops.cas import (cas_core, cas_upscale_core, cas_setup_sharp,
                        cas_upscale_index_maps)
+from .fsr import _bilinear_axis  # DirectCopy bilinear maps (shared)
 
 __all__ = ["build_cas_upscale", "build_cas_sharpen"]
 
@@ -54,15 +55,6 @@ _CHUNK = 128
 
 def _round_up(x, m):
     return -(-int(x) // m) * m
-
-
-def _bilinear_axis(out_n, in_n):
-    """DirectCopy bilinear maps for u = arange(n)/n (fsr_easu.hlsl:34;
-    identical to kernels/fsr._bilinear_axis)."""
-    u = np.arange(out_n, dtype=np.float32) / F32(out_n)
-    t = u * F32(in_n) - F32(0.5)
-    i0 = np.floor(t)
-    return i0.astype(np.int32), (t - i0).astype(np.float32)
 
 
 def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
@@ -413,6 +405,8 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
     cmax = F32((1 << color_bits) - 1)
     inv_cmax = F32(1.0) / cmax
+    # R10G10B10A2: the alpha texel is 2-bit (decode a/3, utils.frames)
+    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
     exact_bf16 = color_bits <= 8
     sharp = cas_setup_sharp(sharpness)
     tint = (F32(0.7), F32(0.7)) if debug else None
@@ -494,7 +488,12 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
         ms = mst_r[0, 0].astype(jnp.int32)
         gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
-        dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
+        masked = jnp.where((ms != 2)[None], gathered, F32(0.0))
+        if inv_amax == inv_cmax:     # 8-bit: one fused scalar multiply
+            dec = masked * inv_cmax
+        else:                        # 10-bit: 2-bit alpha decodes a/3
+            dec = jnp.concatenate(
+                [masked[:3] * inv_cmax, masked[3:] * inv_amax], axis=0)
 
         qv = dec[:3]
         # CasLoad zero-OOB taps via lane rotates (see kernels/fsr.py

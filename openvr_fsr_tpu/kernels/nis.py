@@ -91,6 +91,8 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
 
     cmax = F32((1 << color_bits) - 1)
     inv_cmax = F32(1.0) / cmax
+    # R10G10B10A2: the alpha texel is 2-bit (decode a/3, utils.frames)
+    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
     exact_bf16 = color_bits <= 8
     tint = (F32(0.7), F32(0.7)) if debug else None
     cfg = nis_cfg
@@ -171,7 +173,7 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
 
         # row-select the +-2 band (one-hot matmul — integer texels, exact)
         sel = [_mm(rsel, band[c]) for c in range(4)]      # 4 x (TH_E, WP)
-        dec = [s * inv_cmax for s in sel]
+        dec = [s * inv_cmax for s in sel[:3]] + [sel[3] * inv_amax]
         y01 = _get_y(dec[0], dec[1], dec[2], cfg.hdr_mode)  # (TH_E, WP)
 
         yk = y01 if dt is F32 else y01.astype(jnp.bfloat16)
@@ -377,6 +379,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
     cmax = F32((1 << color_bits) - 1)
     inv_cmax = F32(1.0) / cmax
+    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
     exact_bf16 = color_bits <= 8
     tint = (F32(0.7), F32(0.7)) if debug else None
     import ml_dtypes
@@ -807,9 +810,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     # ---- NVScaler bilinear RGBA tap + luma correction ----------
                     op = []
                     for c in range(4):
+                        sc = inv_cmax if c < 3 else inv_amax
                         gb = _mm(r_op, band[c][:, w0:w0 + KC])
-                        t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * inv_cmax
-                        t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * inv_cmax
+                        t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * sc
+                        t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * sc
                         # bilinear_sample_jax form: c00*(1-fx) + c10*fx
                         top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
                         bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c

@@ -59,6 +59,10 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
     cmax = F32((1 << color_bits) - 1)
     inv_cmax = F32(1.0) / cmax
+    # R10G10B10A2: the alpha texel is 2-bit (decode a/3, utils.frames)
+    alpha_bits = 8 if color_bits == 8 else 2
+    amax = F32((1 << alpha_bits) - 1)
+    inv_amax = F32(1.0) / amax
     exact_bf16 = color_bits <= 8
     sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
     tint = (F32(0.7), F32(0.7)) if debug else None
@@ -143,7 +147,12 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
         ms = mst_r[0, 0].astype(jnp.int32)       # (TH_E, WP)
         gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
-        dec = jnp.where((ms != 2)[None], gathered, F32(0.0)) * inv_cmax
+        masked = jnp.where((ms != 2)[None], gathered, F32(0.0))
+        if inv_amax == inv_cmax:     # 8-bit: one fused scalar multiply
+            dec = masked * inv_cmax
+        else:                        # 10-bit: 2-bit alpha decodes a/3
+            dec = jnp.concatenate(
+                [masked[:3] * inv_cmax, masked[3:] * inv_amax], axis=0)
 
         qv = dec[:3]
         # Load() zero-OOB horizontal taps via lane rotates (see

@@ -26,6 +26,27 @@ def _root():
     return Path(__file__).resolve().parent.parent
 
 
+# must match OVRFSR_ABI_VERSION in native/src/ovrfsr_native.cc; the ctypes
+# signatures below describe exactly this ABI
+_ABI_VERSION = 2
+
+
+def _load_checked(so):
+    """dlopen + ABI-version check; None for missing/stale libraries (a
+    pre-versioning .so lacks the symbol entirely)."""
+    try:
+        L = ctypes.CDLL(str(so))
+    except OSError:
+        return None
+    try:
+        L.ovrfsr_abi_version.restype = ctypes.c_int
+        if L.ovrfsr_abi_version() != _ABI_VERSION:
+            return None
+    except AttributeError:
+        return None
+    return L
+
+
 def lib():
     """Load (building on first use) the native library, or None."""
     global _LIB, _TRIED
@@ -39,10 +60,18 @@ def lib():
                            check=True, capture_output=True, timeout=120)
         except Exception:
             return None
-    try:
-        L = ctypes.CDLL(str(so))
-    except OSError:
-        return None
+    L = _load_checked(so)
+    if L is None:
+        # stale prebuilt .so from an older ABI: rebuild once and retry
+        try:
+            so.unlink(missing_ok=True)
+            subprocess.run(["sh", str(_root() / "native" / "build.sh")],
+                           check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+        L = _load_checked(so)
+        if L is None:
+            return None
     L.ovrfsr_parse_cfg.restype = ctypes.c_int
     L.ovrfsr_parse_cfg.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
                                    ctypes.c_int]

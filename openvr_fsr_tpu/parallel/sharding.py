@@ -78,7 +78,7 @@ class ShardedPipeline:
         key = ("shard", local_b, h, w, str(frames.dtype), pattern,
                self.pipeline.config, self.pipeline.color_bits,
                self.pipeline._resolve_backend(), self.pipeline.precision,
-               self.pipeline.hdr_mode, n)
+               self.pipeline.hdr_mode, self.pipeline.cas_max_color_delta, n)
         fn = self.pipeline._cache.get(key)
         if fn is None:
             local_fn = self.pipeline._build(local_b, h, w, pattern)

@@ -22,8 +22,10 @@ __all__ = [
 def to_planar(frames, color_bits=8, alpha_bits=None):
     """(B?, H, W, C) uint/float -> (B, 4, H, W) float32 in [0,1].
 
-    uint8 decodes as UNORM8 (u/255); uint16 as UNORM with `color_bits`
-    (default treats uint16 input as 10-bit, u/1023). Missing alpha -> 1.
+    uint8 decodes as UNORM8 (u/255); uint16 as UNORM with `color_bits` for
+    RGB (default treats uint16 input as 10-bit, u/1023) and the matching
+    narrow alpha (R10G10B10A2: a/3 — 2-bit UNORM, like the hardware view;
+    from_planar re-encodes with the same width). Missing alpha -> 1.
     """
     import jax.numpy as jnp
 
@@ -33,8 +35,16 @@ def to_planar(frames, color_bits=8, alpha_bits=None):
     if x.dtype == np.uint8 or str(x.dtype) == "uint8":
         x = jnp.asarray(x).astype(jnp.float32) * np.float32(1.0 / 255.0)
     elif x.dtype == np.uint16 or str(x.dtype) == "uint16":
-        scale = np.float32(1.0 / ((1 << (color_bits if color_bits else 10)) - 1))
-        x = jnp.asarray(x).astype(jnp.float32) * scale
+        cb = color_bits if color_bits else 10
+        ab = alpha_bits if alpha_bits is not None else (8 if cb == 8 else 2)
+        cscale = np.float32(1.0 / ((1 << cb) - 1))
+        ascale = np.float32(1.0 / ((1 << ab) - 1))
+        xf = jnp.asarray(x).astype(jnp.float32)
+        if xf.shape[-1] == 4:
+            x = jnp.concatenate(
+                [xf[..., :3] * cscale, xf[..., 3:] * ascale], axis=-1)
+        else:
+            x = xf * cscale
     else:
         x = jnp.asarray(x, jnp.float32)
     if x.shape[-1] == 3:

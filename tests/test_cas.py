@@ -228,6 +228,8 @@ class TestCasPipeline:
             frames, eyes=(0, 1))
         self._assert_close(np.asarray(got).astype(int),
                            np.asarray(ref).astype(int))
+        # 2-bit alpha decodes a/3: opaque input stays opaque everywhere
+        assert (np.asarray(got)[..., 3] == 3).all()
 
     def test_nis_cas_conflict_raises(self):
         from openvr_fsr_tpu import Config, Pipeline

@@ -126,7 +126,8 @@ class TestFusedFsrKernel:
     def test_10bit_r10g10b10a2(self, rs, use_nis):
         """10-bit texels exceed bf16 integer range -> f32 HIGHEST matmuls /
         planar-f32 IO in every kernel builder (R10G10B10A2 passthrough,
-        PostProcessor.cpp:527, 63-74)."""
+        PostProcessor.cpp:527, 63-74). The 2-bit alpha decodes as a/3 —
+        an opaque texel must survive the out-of-radius passthrough."""
         rng = np.random.default_rng(5)
         frames = rng.integers(0, 1024, (2, 64, 72, 4), dtype=np.uint16)
         frames[..., 3] = 3
@@ -137,6 +138,9 @@ class TestFusedFsrKernel:
         got = Pipeline(cfg, backend=_backend(), color_bits=10).process(
             frames, eyes=(0, 1))
         _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
+        # alpha semantics, not just backend parity: every path writes either
+        # 1.0 (3) in-circle or passes the opaque source (3) through
+        assert (np.asarray(got)[..., 3] == 3).all()
 
     def test_batch_one(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=0.5)

@@ -303,3 +303,32 @@ class TestPackedU32Api:
         cfg = Config(enabled=True, render_scale=1.0)
         with pytest.raises(ValueError):
             Pipeline(cfg, backend="xla", color_bits=10).process(u32)
+
+    def test_packed_crop(self):
+        """crop_output on packed-u32 output slices (H, W), not (B, H)."""
+        u8, u32 = self._frames()
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        pipe = Pipeline(cfg, backend="xla")
+        bounds = (0.0, 0.0, 1.0, 0.5)
+        a = np.asarray(pipe.process(u8, eyes=(0, 1), bounds=bounds,
+                                    crop=True))
+        b = np.asarray(pipe.process(u32, eyes=(0, 1), bounds=bounds,
+                                    crop=True))
+        assert b.shape == a.shape[:3] and b.dtype == np.uint32
+        assert np.array_equal(a.view(np.uint32)[..., 0], b)
+
+    def test_rgb_frames_on_kernel_path(self):
+        """3-channel RGB frames work on the Pallas path (alpha padded 255),
+        matching XLA."""
+        import jax
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   else "pallas-interpret")
+        rgb = FR.zone_plate_frame(64, 72)[..., :3].copy()
+        cfg = Config(enabled=True, render_scale=1.0, sharpness=0.9,
+                     radius=0.4)
+        a = np.asarray(Pipeline(cfg, backend="xla").process(rgb))
+        b = np.asarray(Pipeline(cfg, backend=backend).process(rgb))
+        assert a.shape == b.shape == (64, 72, 4)
+        d = np.abs(a.astype(int) - b.astype(int))
+        assert (d == 0).mean() >= 0.99 and d.max() <= 16
