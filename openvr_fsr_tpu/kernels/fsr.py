@@ -51,7 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import constants as C
 from ..core import foveation as fov
-from ..ops.easu import easu_core, easu_index_maps, TAP_ORDER
+from ..ops.easu import easu_core_split, easu_index_maps, TAP_ORDER
 from ..ops.rcas import rcas_core
 
 __all__ = ["build_fsr_fused"]
@@ -376,10 +376,11 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 for (dx, dy) in TAP_ORDER:
                     taps.setdefault((dx, dy), []).append(
                         t[dyi[dy] * TP:dyi[dy] * TP + TH_E,
-                          (dx + 1) * CHUNK:(dx + 2) * CHUNK])
-            taps = {kk: jnp.stack(v, 0) * inv_cmax for kk, v in taps.items()}
-            s_easu[:, :, c0:c0 + CHUNK] = easu_core(
-                taps, ppx_c, ppy_t, dt=core_dt).astype(jnp.float32)
+                          (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax)
+            # channel-split core: no (3, TH_E, CHUNK) stacks materialize
+            res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt)
+            for c in range(3):
+                s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
 
         def _bil_chunk(k, c0, w0):
             s_b = sst_r[k, :, 4 * CHUNK:]               # (KC, 2*CHUNK)

@@ -11,7 +11,8 @@ import numpy as np
 
 from .common import F32, aprx_lo_rcp, aprx_lo_rsq, rcp, sat, min3, max3
 
-__all__ = ["easu_jax", "easu_index_maps", "easu_core", "TAP_ORDER"]
+__all__ = ["easu_jax", "easu_index_maps", "easu_core", "easu_core_split",
+           "TAP_ORDER"]
 
 _TAP_ORDER = [  # exact FsrEasuF accumulation order (ffx_fsr1.h:423-434)
     (0, -1), (1, -1), (-1, 1), (0, 1), (0, 0), (-1, 0),
@@ -20,42 +21,31 @@ _TAP_ORDER = [  # exact FsrEasuF accumulation order (ffx_fsr1.h:423-434)
 TAP_ORDER = _TAP_ORDER
 
 
-def easu_core(taps, ppx, ppy, dt=F32):
-    """The FsrEasuF math after the 12 taps are gathered (ffx_fsr1.h:363-437).
-
-    taps: dict (dx, dy) -> (C, h, w) arrays for the 12 offsets in TAP_ORDER.
-    ppx/ppy: fractional coordinates broadcastable against (h, w) — typically
-    (1, w) and (h, 1). Pure jnp, so it runs identically under XLA and inside
-    a Pallas kernel (same f32 op ordering as the HLSL).
-
-    dt: constant dtype — np.float32 (default, parity) or ml_dtypes.bfloat16
-    for the relaxed-precision fast mode, the analog of the reference's
-    packed-fp16 FsrEasuH (ffx_fsr1.h:445-594). In bf16 mode the ffx_a.h
-    rcp/rsqrt bit approximations still evaluate in f32 (cast in/out); the
-    fp16 magic constants have no bf16 equivalent.
-    Returns the dering-clamped (C, h, w) RGB."""
+def _easu_fns(dt):
+    """The approximation intrinsics for the chosen math dtype (bf16 mode
+    routes the ffx_a.h bit approximations through f32 — the fp16 magic
+    constants have no bf16 equivalent; bf16 compares are unsupported on
+    the VPU)."""
     if dt is not F32:
-        taps = {k: v.astype(dt) for k, v in taps.items()}
-        ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
-
         def _via_f32(fn):
             return lambda a: fn(a.astype(jnp.float32)).astype(dt)
-        _rcp_lo = _via_f32(aprx_lo_rcp)
-        _rsq_lo = _via_f32(aprx_lo_rsq)
-        _rcp_ex = _via_f32(rcp)
-
-        def _lt(a, c):  # bf16 compares are unsupported on the VPU
-            return a.astype(jnp.float32) < F32(c)
-    else:
-        _rcp_lo, _rsq_lo, _rcp_ex = aprx_lo_rcp, aprx_lo_rsq, rcp
 
         def _lt(a, c):
-            return a < F32(c)
+            return a.astype(jnp.float32) < F32(c)
+        return (_via_f32(aprx_lo_rcp), _via_f32(aprx_lo_rsq),
+                _via_f32(rcp), _lt)
 
-    def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)  (ffx_fsr1.h:363-366)
-        return c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
+    def _lt(a, c):
+        return a < F32(c)
+    return aprx_lo_rcp, aprx_lo_rsq, rcp, _lt
 
-    L = {off: luma(taps[off]) for off in taps}
+
+def _easu_weights(L, ppx, ppy, dt):
+    """Direction/anisotropy analysis + the 12 tap weights from the luma
+    dict L (ffx_fsr1.h:368-434). Returns (ws, aW): per-tap weights in
+    TAP_ORDER and their sum. Shared by the stacked and channel-split
+    cores — the weight math never touches color channels."""
+    _rcp_lo, _rsq_lo, _rcp_ex, _lt = _easu_fns(dt)
     bL, cL = L[(0, -1)], L[(1, -1)]
     eL, fL, gL, hL = L[(-1, 0)], L[(0, 0)], L[(1, 0)], L[(2, 0)]
     iL, jL, kL, lL = L[(-1, 1)], L[(0, 1)], L[(1, 1)], L[(2, 1)]
@@ -114,11 +104,7 @@ def easu_core(taps, ppx, ppy, dt=F32):
     lob = dt(0.5) + dt((1.0 / 4.0 - 0.04) - 0.5) * length
     clp = _rcp_lo(lob)
 
-    cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
-    min4 = jnp.minimum(min3(cf, ck, cj), cg)
-    max4 = jnp.maximum(max3(cf, ck, cj), cg)
-
-    aC = jnp.zeros(taps[(0, 0)].shape[:-2] + z.shape, dt)
+    ws = []
     aW = z
     for dx, dy in _TAP_ORDER:
         off_x = dt(float(dx)) - ppx
@@ -133,11 +119,74 @@ def easu_core(taps, ppx, ppy, dt=F32):
         wB = wB * wB
         wA = wA * wA
         wB = dt(25.0 / 16.0) * wB + dt(-(25.0 / 16.0 - 1.0))
-        w = wB * wA
+        ws.append(wB * wA)
+        aW = aW + ws[-1]
+    return ws, aW
+
+
+def easu_core(taps, ppx, ppy, dt=F32):
+    """The FsrEasuF math after the 12 taps are gathered (ffx_fsr1.h:363-437).
+
+    taps: dict (dx, dy) -> (C, h, w) arrays for the 12 offsets in TAP_ORDER.
+    ppx/ppy: fractional coordinates broadcastable against (h, w) — typically
+    (1, w) and (h, 1). Pure jnp, so it runs identically under XLA and inside
+    a Pallas kernel (same f32 op ordering as the HLSL).
+
+    dt: constant dtype — np.float32 (default, parity) or ml_dtypes.bfloat16
+    for the relaxed-precision fast mode, the analog of the reference's
+    packed-fp16 FsrEasuH (ffx_fsr1.h:445-594).
+    Returns the dering-clamped (C, h, w) RGB."""
+    if dt is not F32:
+        taps = {k: v.astype(dt) for k, v in taps.items()}
+        ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
+    _rcp_lo, _rsq_lo, _rcp_ex, _lt = _easu_fns(dt)
+
+    def luma(c):  # luma*2: B*0.5 + (R*0.5 + G)  (ffx_fsr1.h:363-366)
+        return c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
+
+    L = {off: luma(taps[off]) for off in taps}
+    ws, aW = _easu_weights(L, ppx, ppy, dt)
+
+    cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
+    min4 = jnp.minimum(min3(cf, ck, cj), cg)
+    max4 = jnp.maximum(max3(cf, ck, cj), cg)
+
+    aC = jnp.zeros(taps[(0, 0)].shape, dt)
+    for w, (dx, dy) in zip(ws, _TAP_ORDER):
         aC = aC + taps[(dx, dy)] * w[None]
-        aW = aW + w
 
     return jnp.minimum(max4, jnp.maximum(min4, aC * _rcp_ex(aW)[None]))
+
+
+def easu_core_split(taps, ppx, ppy, dt=F32):
+    """easu_core with channel-split taps: dict (dx, dy) -> [r, g, b] lists
+    of 2-D planes. Identical f32 op order per element (the weight math is
+    the same function; the per-channel accumulation is the same multiply/
+    add without the channel-stacked intermediates) — used by the Pallas
+    kernel, where stacking 12 (3, th, chunk) tap arrays per chunk costs
+    real VMEM copies. Returns [r, g, b]."""
+    if dt is not F32:
+        taps = {k: [p.astype(dt) for p in v] for k, v in taps.items()}
+        ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
+    _rcp_lo, _rsq_lo, _rcp_ex, _lt = _easu_fns(dt)
+
+    L = {off: c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
+         for off, c in taps.items()}
+    ws, aW = _easu_weights(L, ppx, ppy, dt)
+
+    cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
+    inv_w = _rcp_ex(aW)
+    out = []
+    for c in range(3):
+        min4 = jnp.minimum(min3(cf[c], ck[c], cj[c]), cg[c])
+        max4 = jnp.maximum(max3(cf[c], ck[c], cj[c]), cg[c])
+        # 0 + t as the first accumulation, exactly like the stacked core
+        # (keeps even the signed-zero behavior identical)
+        aC = jnp.zeros_like(aW)
+        for w, (dx, dy) in zip(ws, _TAP_ORDER):
+            aC = aC + taps[(dx, dy)][c] * w
+        out.append(jnp.minimum(max4, jnp.maximum(min4, aC * inv_w)))
+    return out
 
 
 def easu_index_maps(in_w, in_h, out_w, out_h, con0):
