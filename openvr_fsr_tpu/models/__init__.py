@@ -3,8 +3,9 @@ ships, over the shared pipeline/kernels:
 
   FsrModel — AMD FidelityFX Super Resolution 1 (EASU + RCAS), the default
   NisModel — NVIDIA Image Scaling (NVScaler / NVSharpen)
-  CasModel — FFX Contrast-Adaptive Sharpening (sharpen-only; the vestigial
-             kernel of the reference's older releases)
+  CasModel — FFX Contrast-Adaptive Sharpening (sharpen-only or
+             sharpen-and-upscale, ffx_cas.h; a full pipeline mode here —
+             the reference keeps it in-tree but out of the build)
 
 `get_model(name)` resolves by the names users know from the cfg/README.
 """
