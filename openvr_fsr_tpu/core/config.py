@@ -14,7 +14,17 @@ import re
 from dataclasses import dataclass, field, replace
 from pathlib import Path
 
-__all__ = ["Config", "Hotkeys", "load_config", "strip_json_comments"]
+__all__ = ["Config", "Hotkeys", "load_config", "strip_json_comments",
+           "AMD_PRESETS"]
+
+# The AMD FSR1 quality presets documented in the reference cfg
+# (src/openvr_mod.cfg:17-21): preset name -> renderScale.
+AMD_PRESETS = {
+    "ultra_quality": 0.77,
+    "quality": 0.67,
+    "balanced": 0.59,
+    "performance": 0.50,
+}
 
 # Win32 virtual-key defaults (F1..F7), kept for cfg-file parity.
 VK_F1, VK_F2, VK_F3, VK_F4, VK_F5, VK_F6, VK_F7 = 112, 113, 114, 115, 116, 117, 118
@@ -58,6 +68,14 @@ class Config:
 
     def with_(self, **kw):
         return replace(self, **kw)
+
+    @classmethod
+    def from_preset(cls, preset, **kw):
+        """Config at an AMD quality preset ('ultra_quality', 'quality',
+        'balanced', 'performance' — src/openvr_mod.cfg:17-21), enabled,
+        with the cfg-file defaults otherwise; kw overrides any field."""
+        kw.setdefault("enabled", True)
+        return cls(render_scale=AMD_PRESETS[preset.lower()], **kw)
 
     def output_size(self, in_w, in_h):
         """PostProcessor::PrepareResources sizing (PostProcessor.cpp:512-518).

@@ -332,3 +332,14 @@ class TestPackedU32Api:
         assert a.shape == b.shape == (64, 72, 4)
         d = np.abs(a.astype(int) - b.astype(int))
         assert (d == 0).mean() >= 0.99 and d.max() <= 16
+
+
+class TestPresets:
+    def test_amd_presets(self):
+        """AMD quality presets (src/openvr_mod.cfg:17-21)."""
+        from openvr_fsr_tpu.core.config import AMD_PRESETS
+
+        assert AMD_PRESETS == {"ultra_quality": 0.77, "quality": 0.67,
+                               "balanced": 0.59, "performance": 0.50}
+        c = Config.from_preset("Quality", sharpness=0.8)
+        assert c.enabled and c.render_scale == 0.67 and c.sharpness == 0.8
