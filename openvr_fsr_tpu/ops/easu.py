@@ -41,10 +41,11 @@ def _easu_fns(dt):
 
 
 def _easu_weights(L, ppx, ppy, dt):
-    """Direction/anisotropy analysis + the 12 tap weights from the luma
-    dict L (ffx_fsr1.h:368-434). Returns (ws, aW): per-tap weights in
-    TAP_ORDER and their sum. Shared by the stacked and channel-split
-    cores — the weight math never touches color channels."""
+    """Direction/anisotropy analysis from the luma dict L
+    (ffx_fsr1.h:368-421). Returns (tap_w, z): an on-demand per-tap weight
+    function and a zero plane for the accumulators. Shared by the stacked
+    and channel-split cores — the weight math never touches color
+    channels."""
     _rcp_lo, _rsq_lo, _rcp_ex, _lt = _easu_fns(dt)
     bL, cL = L[(0, -1)], L[(1, -1)]
     eL, fL, gL, hL = L[(-1, 0)], L[(0, 0)], L[(1, 0)], L[(2, 0)]
@@ -104,9 +105,10 @@ def _easu_weights(L, ppx, ppy, dt):
     lob = dt(0.5) + dt((1.0 / 4.0 - 0.04) - 0.5) * length
     clp = _rcp_lo(lob)
 
-    ws = []
-    aW = z
-    for dx, dy in _TAP_ORDER:
+    def tap_w(dx, dy):
+        """The (dx, dy) tap weight — computed on demand so only one weight
+        plane is live at a time in the accumulation loops (exact FsrEasuTapF
+        op order, ffx_fsr1.h:239-272)."""
         off_x = dt(float(dx)) - ppx
         off_y = dt(float(dy)) - ppy
         vx = off_x * dir_x + off_y * dir_y
@@ -119,9 +121,9 @@ def _easu_weights(L, ppx, ppy, dt):
         wB = wB * wB
         wA = wA * wA
         wB = dt(25.0 / 16.0) * wB + dt(-(25.0 / 16.0 - 1.0))
-        ws.append(wB * wA)
-        aW = aW + ws[-1]
-    return ws, aW
+        return wB * wA
+
+    return tap_w, z
 
 
 def easu_core(taps, ppx, ppy, dt=F32):
@@ -145,15 +147,18 @@ def easu_core(taps, ppx, ppy, dt=F32):
         return c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
 
     L = {off: luma(taps[off]) for off in taps}
-    ws, aW = _easu_weights(L, ppx, ppy, dt)
+    tap_w, z = _easu_weights(L, ppx, ppy, dt)
 
     cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
     min4 = jnp.minimum(min3(cf, ck, cj), cg)
     max4 = jnp.maximum(max3(cf, ck, cj), cg)
 
     aC = jnp.zeros(taps[(0, 0)].shape, dt)
-    for w, (dx, dy) in zip(ws, _TAP_ORDER):
+    aW = z
+    for dx, dy in _TAP_ORDER:
+        w = tap_w(dx, dy)
         aC = aC + taps[(dx, dy)] * w[None]
+        aW = aW + w
 
     return jnp.minimum(max4, jnp.maximum(min4, aC * _rcp_ex(aW)[None]))
 
@@ -172,20 +177,24 @@ def easu_core_split(taps, ppx, ppy, dt=F32):
 
     L = {off: c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
          for off, c in taps.items()}
-    ws, aW = _easu_weights(L, ppx, ppy, dt)
+    tap_w, z = _easu_weights(L, ppx, ppy, dt)
 
     cf, cg, cj, ck = taps[(0, 0)], taps[(1, 0)], taps[(0, 1)], taps[(1, 1)]
+    # one weight plane live at a time: accumulate all three channels (and
+    # aW) inside the tap loop, like the HLSL
+    aC = [jnp.zeros_like(z) for _ in range(3)]
+    aW = z
+    for dx, dy in _TAP_ORDER:
+        w = tap_w(dx, dy)
+        for c in range(3):
+            aC[c] = aC[c] + taps[(dx, dy)][c] * w
+        aW = aW + w
     inv_w = _rcp_ex(aW)
     out = []
     for c in range(3):
         min4 = jnp.minimum(min3(cf[c], ck[c], cj[c]), cg[c])
         max4 = jnp.maximum(max3(cf[c], ck[c], cj[c]), cg[c])
-        # 0 + t as the first accumulation, exactly like the stacked core
-        # (keeps even the signed-zero behavior identical)
-        aC = jnp.zeros_like(aW)
-        for w, (dx, dy) in zip(ws, _TAP_ORDER):
-            aC = aC + taps[(dx, dy)][c] * w
-        out.append(jnp.minimum(max4, jnp.maximum(min4, aC * inv_w)))
+        out.append(jnp.minimum(max4, jnp.maximum(min4, aC[c] * inv_w)))
     return out
 
 
