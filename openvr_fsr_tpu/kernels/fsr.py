@@ -68,6 +68,7 @@ _FORCE_HIGHEST = False  # debug: force f32 HIGHEST-precision matmul-gathers
 _SKIP_STAGE1 = False    # debug/profiling: skip the EASU/bilinear chunk loop
 _SKIP_RCAS = False      # debug/profiling: write quantized stage-1 directly
 _SKIP_EPILOGUE = False  # debug/profiling: write a constant (isolates DMA)
+_MM_ONLY = False        # debug/profiling: gather matmuls without easu_core
 _NO_GATING = False      # debug/profiling: drop pl.when chunk gating
 # Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
 # Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
@@ -134,6 +135,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _SKIP_STAGE1 = globals()["_SKIP_STAGE1"]
     _SKIP_RCAS = globals()["_SKIP_RCAS"]
     _SKIP_EPILOGUE = globals()["_SKIP_EPILOGUE"]
+    _MM_ONLY = globals()["_MM_ONLY"]
     _NO_GATING = globals()["_NO_GATING"]
     _EPI_SPECIALIZE = globals()["_EPI_SPECIALIZE"]
     _FORCE_HIGHEST = globals()["_FORCE_HIGHEST"]
@@ -343,12 +345,26 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # the 2 bilinear blocks (a third of the matmul rows), fully-inside
         # bands only the 4 EASU blocks — this matmul is the dominant term
         # of the per-band floor (tools/profile_fsr.py "dma+write only").
+        # G scratch layout is channel-major per REGION: the 3 channels'
+        # EASU blocks are contiguous ([c*N_EASU, ...)), then the 3 bilinear
+        # blocks ([3*N_EASU + c*N_BIL, ...)) — so each chunk needs ONE
+        # column matmul per path covering all channels (measured: the many
+        # small per-channel chunk matmuls paid ~2-4x their compute in
+        # launch overhead, tools/ab_fsr.py _MM_ONLY).
         r_all = rst_r[0]                                # (N_ROW, IH)
 
         def _gather_rows(lo, hi):
             for c in range(3):
                 g = _mm(r_all[lo:hi], inp_full(c))      # (hi-lo, WP) f32
-                g_rows[c * N_ROW + lo:c * N_ROW + hi] = g.astype(g_rows.dtype)
+                gl = g.astype(g_rows.dtype)
+                if lo < N_EASU:
+                    he = min(hi, N_EASU)
+                    g_rows[c * N_EASU + lo:c * N_EASU + he] = gl[:he - lo]
+                if hi > N_EASU:
+                    lb = max(lo, N_EASU)
+                    g_rows[3 * N_EASU + c * N_BIL + lb - N_EASU:
+                           3 * N_EASU + c * N_BIL + hi - N_EASU] = \
+                        gl[lb - lo:]
 
         if _NO_GATING:
             _gather_rows(0, N_ROW)
@@ -369,14 +385,19 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
         def _easu_chunk(k, c0, w0, ppx_c):
             s_e = sst_r[k, :, :4 * CHUNK]               # (KC, 4*CHUNK)
+            ge = g_rows[:3 * N_EASU, w0:w0 + KC]
+            t = _mm2(ge, s_e)                           # (3*4*TP, 4*CHUNK)
             taps = {}
-            for c in range(3):
-                ge = g_rows[c * N_ROW:c * N_ROW + N_EASU, w0:w0 + KC]
-                t = _mm2(ge, s_e)                       # (4*TP, 4*CHUNK) f32
-                for (dx, dy) in TAP_ORDER:
-                    taps.setdefault((dx, dy), []).append(
-                        t[dyi[dy] * TP:dyi[dy] * TP + TH_E,
-                          (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax)
+            for (dx, dy) in TAP_ORDER:
+                taps[(dx, dy)] = [
+                    t[c * N_EASU + dyi[dy] * TP:
+                      c * N_EASU + dyi[dy] * TP + TH_E,
+                      (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax
+                    for c in range(3)]
+            if _MM_ONLY:  # profiling: isolate the gather-matmul cost
+                for c in range(3):
+                    s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
+                return
             # channel-split core: no (3, TH_E, CHUNK) stacks materialize
             res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt)
             for c in range(3):
@@ -385,12 +406,12 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         def _bil_chunk(k, c0, w0):
             s_b = sst_r[k, :, 4 * CHUNK:]               # (KC, 2*CHUNK)
             fxc = fbx_r[k]                              # (1, CHUNK)
+            gb = g_rows[3 * N_EASU:, w0:w0 + KC]
+            t = _mm2(gb, s_b)                           # (3*2*TP, 2*CHUNK)
             for c in range(3):
-                gb = g_rows[c * N_ROW + N_EASU:(c + 1) * N_ROW, w0:w0 + KC]
-                t = _mm2(gb, s_b)                       # (2*TP, 2*CHUNK) f32
                 # x-lerp now (ops are small either way); y-lerp band-wide
                 for yb in range(2):                     # y0 and y1 rows
-                    ty = t[yb * TP:yb * TP + TH_E]
+                    ty = t[c * N_BIL + yb * TP:c * N_BIL + yb * TP + TH_E]
                     t0 = ty[:, :CHUNK] * inv_cmax
                     t1 = ty[:, CHUNK:] * inv_cmax
                     s_bilx[c, yb * TH_E:(yb + 1) * TH_E, c0:c0 + CHUNK] = \
