@@ -45,14 +45,27 @@ class ShardedPipeline:
         self.pipeline = pipeline
         self.mesh = mesh or make_mesh()
 
-    def process(self, frames, eyes=None):
+    def process(self, frames, eyes=None, bounds=None, crop=False):
         """SPMD over the mesh via shard_map: every device runs the full
         per-frame program (including the Pallas kernels — custom calls are
         not auto-partitionable, so shard_map is the correct mechanism) on its
-        local batch slice. No collectives in the hot path."""
+        local batch slice. No collectives in the hot path.
+
+        bounds/crop mirror Pipeline.process: the first entry's
+        VRTextureBounds_t decides the eye layout, and crop=True returns
+        only the bounded output region (a local slice per shard — the
+        batch sharding is untouched)."""
         from jax.sharding import PartitionSpec
 
         frames = jnp.asarray(frames)
+        first_bounds = None
+        if bounds is not None:
+            first_bounds = (bounds[0] if hasattr(bounds[0], "__len__")
+                            else bounds)
+            one_eye = self.pipeline.bounds_contain_one_eye(first_bounds)
+            if one_eye != self.pipeline.single_eye_per_frame:
+                self.pipeline.single_eye_per_frame = one_eye
+                self.pipeline.reset()
         if frames.dtype == jnp.uint32 and self.pipeline.color_bits != 8:
             raise ValueError("packed-u32 frames require color_bits=8")
         b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
@@ -88,4 +101,7 @@ class ShardedPipeline:
                                        in_specs=(spec,), out_specs=spec,
                                        check_vma=False))
             self.pipeline._cache[key] = fn
-        return fn(shard_batch(frames, self.mesh, axis))
+        out = fn(shard_batch(frames, self.mesh, axis))
+        if crop and first_bounds is not None:
+            out = self.pipeline.crop_output(out, first_bounds)
+        return out

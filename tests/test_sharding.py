@@ -148,3 +148,20 @@ class TestShardedPackedU32:
         b = np.asarray(sp.process(u32, eyes=eyes))
         assert b.dtype == np.uint32 and b.ndim == 3
         assert np.array_equal(a.view(np.uint32)[..., 0], b)
+
+
+class TestShardedBounds:
+    def test_bounds_crop_matches_local(self, mesh):
+        """bounds/crop parity with Pipeline.process across the mesh."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        frames = _frames(8)
+        bounds = (0.0, 0.0, 1.0, 0.5)
+        ref = np.asarray(Pipeline(cfg, backend="xla").process(
+            frames, eyes=(0,) * 8, bounds=bounds, crop=True))
+        out = np.asarray(ShardedPipeline(Pipeline(cfg, backend="xla"), mesh)
+                         .process(frames, eyes=(0,) * 8, bounds=bounds,
+                                  crop=True))
+        assert np.array_equal(out, ref)
