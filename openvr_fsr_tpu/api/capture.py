@@ -69,9 +69,13 @@ def read_dds_rgba8(path):
 
 def save_frame(frame, directory=".", use_nis=False, sharpness=0.9, radius=0.5,
                formats=("dds", "npy")):
-    """Save a processed (H, W, 4) uint8 frame with reference-style metadata
-    filenames. Returns the list of written paths."""
+    """Save a processed (H, W, 4) uint8 frame — or an (H, W) uint32
+    packed-RGBA8 plane from the zero-copy pipeline mode — with
+    reference-style metadata filenames. Returns the list of written
+    paths."""
     frame = np.asarray(frame)
+    if frame.dtype == np.uint32:        # packed-u32 API mode output
+        frame = frame.view(np.uint8).reshape(frame.shape + (4,))
     if frame.ndim == 4:
         frame = frame[0]
     paths = []

@@ -343,3 +343,14 @@ class TestPresets:
                                "balanced": 0.59, "performance": 0.50}
         c = Config.from_preset("Quality", sharpness=0.8)
         assert c.enabled and c.render_scale == 0.67 and c.sharpness == 0.8
+
+
+class TestPackedCapture:
+    def test_save_packed_frame(self, tmp_path):
+        from openvr_fsr_tpu.api.capture import save_frame, read_dds_rgba8
+
+        u8 = FR.noise_frame(16, 20)
+        u32 = u8.view(np.uint32)[..., 0]
+        paths = save_frame(u32, directory=tmp_path)
+        dds = [p for p in paths if str(p).endswith("dds")][0]
+        assert np.array_equal(read_dds_rgba8(dds), u8)
