@@ -241,3 +241,25 @@ class TestNisHdrKernels:
         pipe.hdr_mode = 2
         b = np.asarray(pipe.process(f))
         assert not np.array_equal(a, b)
+
+
+class TestDoubleWideAllPaths:
+    """Double-wide frames (both eyes in one texture) through the NIS and
+    CAS kernel builders — both projection centres live in one constant
+    row (PostProcessor.cpp:298-305)."""
+
+    @pytest.mark.parametrize("use_nis,use_cas,rs", [
+        (True, False, 0.75),   # NVScaler
+        (True, False, 1.0),    # NVSharpen
+        (False, True, 0.75),   # CAS upscale
+        (False, True, 1.0),    # CAS sharpen
+    ])
+    def test_double_wide(self, use_nis, use_cas, rs):
+        frames = FR.zone_plate_frame(64, 160)[None]
+        cfg = Config(enabled=True, render_scale=rs, sharpness=0.8,
+                     radius=0.4, use_nis=use_nis, use_cas=use_cas)
+        kw = dict(single_eye_per_frame=False,
+                  eye_centers=((0.5, 0.5), (0.5, 0.5)))
+        ref = Pipeline(cfg, backend="xla", **kw).process(frames)
+        got = Pipeline(cfg, backend=_backend(), **kw).process(frames)
+        _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
