@@ -489,6 +489,25 @@ class Pipeline:
 
         return jax.jit(run)
 
+    def _apply_bounds_layout(self, bounds):
+        """The reference's per-Submit layout detection (PostProcessor.cpp:
+        136-146): the first entry's VRTextureBounds_t decides single- vs
+        double-wide packing; a switch recreates resources (Reset analog) and
+        the timer's stereo scaling. Returns the first bounds (or None)."""
+        if bounds is None:
+            return None
+        first_bounds = (bounds[0] if hasattr(bounds[0], "__len__")
+                        else bounds)
+        one_eye = self.bounds_contain_one_eye(first_bounds)
+        if one_eye != self.single_eye_per_frame:
+            self._log.info(
+                "Texture bounds imply %s layout, recreating resources",
+                "single-eye" if one_eye else "double-wide")
+            self.single_eye_per_frame = one_eye
+            self.timer = GpuTimer(scale_for_stereo=one_eye)
+            self.reset()
+        return first_bounds
+
     @staticmethod
     def bounds_contain_one_eye(bounds):
         """The reference's textureContainsOnlyOneEye detection
@@ -536,18 +555,7 @@ class Pipeline:
         Returns the processed frames at output resolution, same dtype."""
         if not self.config.enabled:
             return frames
-        first_bounds = None
-        if bounds is not None:
-            first_bounds = (bounds[0] if hasattr(bounds[0], "__len__")
-                            else bounds)
-            one_eye = self.bounds_contain_one_eye(first_bounds)
-            if one_eye != self.single_eye_per_frame:
-                self._log.info(
-                    "Texture bounds imply %s layout, recreating resources",
-                    "single-eye" if one_eye else "double-wide")
-                self.single_eye_per_frame = one_eye
-                self.timer = GpuTimer(scale_for_stereo=one_eye)
-                self.reset()
+        first_bounds = self._apply_bounds_layout(bounds)
         # zero-copy packed mode: uint32 frames are bitcast RGBA8 planes
         # (B, H, W) — the kernels consume/produce this layout natively, so
         # no u8<->u32 relayout happens anywhere (8-bit only)

@@ -73,9 +73,11 @@ class Config:
     def from_preset(cls, preset, **kw):
         """Config at an AMD quality preset ('ultra_quality', 'quality',
         'balanced', 'performance' — src/openvr_mod.cfg:17-21), enabled,
-        with the cfg-file defaults otherwise; kw overrides any field."""
+        with the cfg-file defaults otherwise; kw overrides any field
+        (including render_scale)."""
         kw.setdefault("enabled", True)
-        return cls(render_scale=AMD_PRESETS[preset.lower()], **kw)
+        kw.setdefault("render_scale", AMD_PRESETS[preset.lower()])
+        return cls(**kw)
 
     def output_size(self, in_w, in_h):
         """PostProcessor::PrepareResources sizing (PostProcessor.cpp:512-518).

@@ -58,14 +58,7 @@ class ShardedPipeline:
         from jax.sharding import PartitionSpec
 
         frames = jnp.asarray(frames)
-        first_bounds = None
-        if bounds is not None:
-            first_bounds = (bounds[0] if hasattr(bounds[0], "__len__")
-                            else bounds)
-            one_eye = self.pipeline.bounds_contain_one_eye(first_bounds)
-            if one_eye != self.pipeline.single_eye_per_frame:
-                self.pipeline.single_eye_per_frame = one_eye
-                self.pipeline.reset()
+        first_bounds = self.pipeline._apply_bounds_layout(bounds)
         if frames.dtype == jnp.uint32 and self.pipeline.color_bits != 8:
             raise ValueError("packed-u32 frames require color_bits=8")
         b, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
@@ -77,6 +70,10 @@ class ShardedPipeline:
             eyes = tuple(i % 2 for i in range(b))
         else:
             eyes = tuple(int(e) for e in eyes)
+        if not self.pipeline.single_eye_per_frame:
+            # double-wide frames hold both eyes; per-entry eye indices are
+            # ignored by masks/centres (Pipeline._masks), so normalize
+            eyes = (0,) * b
         # every shard must see the same per-entry eye pattern
         pattern = eyes[:local_b]
         if eyes != pattern * n:

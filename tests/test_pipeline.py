@@ -343,6 +343,9 @@ class TestPresets:
                                "balanced": 0.59, "performance": 0.50}
         c = Config.from_preset("Quality", sharpness=0.8)
         assert c.enabled and c.render_scale == 0.67 and c.sharpness == 0.8
+        # kw overrides any field, including render_scale itself
+        assert Config.from_preset("quality", render_scale=0.7).render_scale \
+            == 0.7
 
 
 class TestPackedCapture:

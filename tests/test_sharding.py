@@ -165,3 +165,23 @@ class TestShardedBounds:
                          .process(frames, eyes=(0,) * 8, bounds=bounds,
                                   crop=True))
         assert np.array_equal(out, ref)
+
+    def test_double_wide_bounds_flip(self, mesh):
+        """Half-width bounds flip to double-wide without the eye-pattern
+        check rejecting the (now meaningless) default alternating eyes."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.4)
+        frames = _frames(8, 32, 80)
+        bounds = (0.0, 0.0, 0.5, 1.0)      # half-width -> double-wide
+        pipe = Pipeline(cfg, backend="xla",
+                        eye_centers=((0.5, 0.5), (0.5, 0.5)))
+        ref = np.asarray(Pipeline(cfg, backend="xla",
+                                  eye_centers=((0.5, 0.5), (0.5, 0.5)))
+                         .process(frames, bounds=bounds))
+        out = np.asarray(ShardedPipeline(pipe, mesh)
+                         .process(frames, bounds=bounds))
+        assert not pipe.single_eye_per_frame      # the flip happened
+        assert not pipe.timer.scale_for_stereo    # timer followed the flip
+        assert np.array_equal(out, ref)
