@@ -289,7 +289,7 @@ class TestPackedU32Api:
         a = np.asarray(pipe.process(u8, eyes=(0, 1)))
         b = np.asarray(pipe.process(u32, eyes=(0, 1)))
         assert b.dtype == np.uint32 and b.ndim == 3
-        assert np.array_equal(a.view(np.uint32)[..., 0], b)
+        assert np.array_equal(np.ascontiguousarray(a).view(np.uint32)[..., 0], b)
 
     def test_single_packed_frame_squeezes(self):
         u8, u32 = self._frames()
@@ -316,7 +316,7 @@ class TestPackedU32Api:
         b = np.asarray(pipe.process(u32, eyes=(0, 1), bounds=bounds,
                                     crop=True))
         assert b.shape == a.shape[:3] and b.dtype == np.uint32
-        assert np.array_equal(a.view(np.uint32)[..., 0], b)
+        assert np.array_equal(np.ascontiguousarray(a).view(np.uint32)[..., 0], b)
 
     def test_rgb_frames_on_kernel_path(self):
         """3-channel RGB frames work on the Pallas path (alpha padded 255),

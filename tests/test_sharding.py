@@ -147,7 +147,7 @@ class TestShardedPackedU32:
         a = np.asarray(sp.process(u8, eyes=eyes))
         b = np.asarray(sp.process(u32, eyes=eyes))
         assert b.dtype == np.uint32 and b.ndim == 3
-        assert np.array_equal(a.view(np.uint32)[..., 0], b)
+        assert np.array_equal(np.ascontiguousarray(a).view(np.uint32)[..., 0], b)
 
 
 class TestShardedBounds:
