@@ -32,6 +32,8 @@ from ..ops import nis as N
 __all__ = ["build_nvsharpen", "build_nvscaler"]
 
 _SKIP_STAGE1 = False    # debug/profiling hook (mirrors kernels/fsr.py)
+_NO_INSIDE_FAST = False  # debug/profiling: route all-inside bands through
+                         # the gated loop (A/B the ungated variant)
 
 F32 = np.float32
 
@@ -628,10 +630,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                 bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
                 s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
 
-        def _loop_mixed():
+        def _loop_mixed(gated=True):
             # scaler-only band prologue: the exact 3-split luma plane (getY,
             # NIS_Scaler.h:167) and the circulant stage 1
-            # W[j] = Boh @ Circ_j — skipped entirely for fully-outside bands
+            # W[j] = Boh @ Circ_j — skipped entirely for fully-outside bands.
+            # gated=False is the fully-inside band variant: the per-chunk
+            # pl.when pairs (2 scheduling barriers each) disappear
             y01b = _get_y(band[0].astype(jnp.float32) * inv_cmax,
                           band[1].astype(jnp.float32) * inv_cmax,
                           band[2].astype(jnp.float32) * inv_cmax,
@@ -644,11 +648,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
                 c0 = k * CHUNK
                 w0 = cw0[k]
-                tcls = cls_ref[step * NCHUNK + k]
                 cp = colp_r[k]                       # (18, 1, CHUNK)
 
-                @pl.when(tcls > 0)
-                def _(k=k, c0=c0, w0=w0, cp=cp):
+                def _scale_chunk(k=k, c0=c0, w0=w0, cp=cp):
                     fx, fx64 = cp[0], cp[1]
                     axi = cp[2].astype(jnp.int32)
                     cx = [cp[3 + j] for j in range(6)]
@@ -839,20 +841,30 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                         s_nis[2, :, c0:c0 + CHUNK] = op[2] + corr
                     s_nis[3, :, c0:c0 + CHUNK] = op[3]
 
-                pl.when(tcls < 2)(
-                    lambda k=k, c0=c0, w0=w0, cp=cp:
-                    _fb_chunk(k, c0, w0, cp[17]))
+                if gated:
+                    tcls = cls_ref[step * NCHUNK + k]
+                    pl.when(tcls > 0)(_scale_chunk)
+                    pl.when(tcls < 2)(
+                        lambda k=k, c0=c0, w0=w0, cp=cp:
+                        _fb_chunk(k, c0, w0, cp[17]))
+                else:
+                    _scale_chunk()
 
 
         def _loop_fb():
             for k in range(NCHUNK):
                 _fb_chunk(k, k * CHUNK, cw0[k], colp_r[k][17])
 
-        # band-level fast path (see kernels/fsr.py): fully-outside bands run
-        # an unconditional fallback loop behind one branch
+        # band-level fast paths (see kernels/fsr.py): fully-outside bands
+        # run an unconditional fallback loop, fully-inside bands the
+        # ungated scaler loop — each behind one band-level branch
         bcls = bcls_ref[step]
         pl.when(bcls == 0)(_loop_fb)
-        pl.when(bcls != 0)(_loop_mixed)
+        if globals()["_NO_INSIDE_FAST"]:
+            pl.when(bcls != 0)(lambda: _loop_mixed(True))
+        else:
+            pl.when(bcls == 1)(lambda: _loop_mixed(True))
+            pl.when(bcls == 2)(lambda: _loop_mixed(False))
 
         # ---- band-wide select ------------------------------------------------
         ms = mst_r[0, 0].astype(jnp.int32)
