@@ -15,7 +15,6 @@ A `Pipeline` is stateful like the reference PostProcessor (including the
 hotkey-style runtime mutators); `upscale()` is the one-shot functional form.
 """
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ of the reference cbuffers is an ABI detail; the *values* are what the kernels
 consume). `as_uint32` mirrors the bitcast for tests.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 
