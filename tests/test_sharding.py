@@ -80,7 +80,7 @@ class Test8KStretchConfig:
     VMEM-fitting band auto-shrink; (b) the full-width 7680-column kernel
     executes (interpret, short bands); (c) the sharded batch mechanics run
     at the 8K aspect on the 8-device mesh. The full-size single-chip run is
-    recorded in BENCH_8K.json (TPU v5e: 12.3 ms/frame, 2708 Mpix/s/chip)."""
+    recorded in BENCH_8K.json (TPU v5e: 12.1 ms/frame, 2753 Mpix/s/chip)."""
 
     def test_8k_kernel_builds_with_vmem_fit(self):
         from openvr_fsr_tpu.kernels.fsr import build_fsr_fused
