@@ -46,6 +46,8 @@ Bit-exactness vs the NumPy oracle on real TPU was verified for the v1
 tiled variant of this kernel and is asserted by tests/test_kernels_fsr.py.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,7 +59,7 @@ from ..core import foveation as fov
 from ..ops.easu import easu_core_split, easu_index_maps, TAP_ORDER
 from ..ops.rcas import rcas_core
 
-__all__ = ["build_fsr_fused"]
+__all__ = ["build_fsr_fused", "DebugKnobs"]
 
 F32 = np.float32
 
@@ -67,20 +69,29 @@ _DXS = (-1, 0, 1, 2)   # dx column-block order in the stacked col one-hot
 
 _CHUNK = 128           # default output-column chunk width (lane multiple)
 
-_FORCE_HIGHEST = False  # debug: force f32 HIGHEST-precision matmul-gathers
-_SKIP_STAGE1 = False    # debug/profiling: skip the EASU/bilinear chunk loop
-_SKIP_RCAS = False      # debug/profiling: write quantized stage-1 directly
-_SKIP_EPILOGUE = False  # debug/profiling: write a constant (isolates DMA)
-_MM_ONLY = False        # debug/profiling: gather matmuls without easu_core
-_SKIP_PROLOGUE = False  # debug/profiling: skip the band row-gather matmul
-_NO_DERIVE = False      # debug/profiling: force the 4-block matmul prologue
-_NO_GATING = False      # debug/profiling: drop pl.when chunk gating
-# Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
-# Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
-# radius 0.5, tools/ab_fsr.py): the extra pl.when regions and code
-# duplication cost more than the skipped RCAS work. Kept for re-evaluation
-# on other chips.
-_EPI_SPECIALIZE = False
+
+@dataclasses.dataclass(frozen=True)
+class DebugKnobs:
+    """Profiling-only kernel ablations (tools/profile_fsr.py, ab_fsr.py).
+
+    All default False = the production kernel. Passed explicitly to
+    build_fsr_fused so builds are pure functions of their arguments.
+    """
+
+    force_highest: bool = False   # force f32 HIGHEST-precision matmul-gathers
+    skip_stage1: bool = False     # skip the EASU/bilinear chunk loop
+    skip_rcas: bool = False       # write quantized stage-1 directly
+    skip_epilogue: bool = False   # write a constant (isolates DMA)
+    mm_only: bool = False         # gather matmuls without easu_core
+    skip_prologue: bool = False   # skip the band row-gather matmul
+    no_derive: bool = False       # force the 4-block matmul prologue
+    no_gating: bool = False       # drop pl.when chunk gating
+    # Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
+    # Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
+    # radius 0.5, tools/ab_fsr.py): the extra pl.when regions and code
+    # duplication cost more than the skipped RCAS work. Kept for
+    # re-evaluation on other chips.
+    epi_specialize: bool = False
 
 
 def _round_up(x, m):
@@ -111,7 +122,8 @@ def _pad_cols(arrs, n, n_pad):
 
 def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     centres, color_bits=8, debug=False, band_rows=128,
-                    chunk=_CHUNK, precision="full", interpret=False):
+                    chunk=_CHUNK, precision="full", interpret=False,
+                    knobs=None):
     """Build the fused stereo FSR kernel for a fixed shape/config.
 
     Args:
@@ -126,6 +138,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
       precision: "full" = f32 parity with the oracle; "half" = bf16
         elementwise math — the analog of the reference's packed-fp16
         FsrEasuH/FsrRcasHx2 fast path (ffx_fsr1.h:445-594, 874+).
+      knobs: optional DebugKnobs with profiling-only ablations.
 
     Returns fn(img):
       8-bit: img is (B, in_h, in_w) uint32 (bitcast RGBA8 — zero-copy from
@@ -135,17 +148,16 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
       10-bit: img is (B, 3, in_h, in_w) float32 integer texels, result
         (B, 3, out_h, out_w) float32 in [0, 1] (the original planar path).
     """
-    # snapshot the module-level debug knobs at *build* time (pallas_call
-    # traces lazily at first call, after a caller may have restored them)
-    _SKIP_STAGE1 = globals()["_SKIP_STAGE1"]
-    _SKIP_RCAS = globals()["_SKIP_RCAS"]
-    _SKIP_EPILOGUE = globals()["_SKIP_EPILOGUE"]
-    _MM_ONLY = globals()["_MM_ONLY"]
-    _SKIP_PROLOGUE = globals()["_SKIP_PROLOGUE"]
-    _NO_DERIVE = globals()["_NO_DERIVE"]
-    _NO_GATING = globals()["_NO_GATING"]
-    _EPI_SPECIALIZE = globals()["_EPI_SPECIALIZE"]
-    _FORCE_HIGHEST = globals()["_FORCE_HIGHEST"]
+    kn = knobs or DebugKnobs()
+    _SKIP_STAGE1 = kn.skip_stage1
+    _SKIP_RCAS = kn.skip_rcas
+    _SKIP_EPILOGUE = kn.skip_epilogue
+    _MM_ONLY = kn.mm_only
+    _SKIP_PROLOGUE = kn.skip_prologue
+    _NO_DERIVE = kn.no_derive
+    _NO_GATING = kn.no_gating
+    _EPI_SPECIALIZE = kn.epi_specialize
+    _FORCE_HIGHEST = kn.force_highest
 
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
@@ -472,7 +484,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # EASU taps are vreg-aligned slices of it (TP and CHUNK multiples).
         # Keeping the EASU math per 128-column chunk is deliberate: at
         # (TH_E, 128) the intermediates stay register-resident (measured 2x
-        # faster than band-wide (TH_E, OWP) arrays, tools/microbench2.py).
+        # faster than band-wide (TH_E, OWP) arrays, tools/microbench.py v3).
         dyi = {dy: j for j, dy in enumerate(_DYS)}
 
         def _easu_chunk(k, c0, w0, ppx_c):
@@ -490,8 +502,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 for c in range(3):
                     s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
                 return
-            # channel-split core: no (3, TH_E, CHUNK) stacks materialize
-            res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt)
+            # channel-split core: no (3, TH_E, CHUNK) stacks materialize.
+            # exact_div: the resolve's true division is the one op whose
+            # TPU rounding drifts from IEEE (numerics_probe) — corrected
+            # so stage 1 is bit-exact vs the oracle, which also keeps
+            # RCAS's inputs (the quantized stage-1) exact downstream.
+            res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt,
+                                  exact_div=precision == "full")
             for c in range(3):
                 s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
 
@@ -591,7 +608,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 return
             # Load() zero-OOB horizontal taps via lane rotates (measured
             # 0.3 ms faster than concat+slice at band scale,
-            # tools/microbench2.py case D): the wrapped-in lane is a
+            # tools/microbench.py v3 case D): the wrapped-in lane is a
             # zeroed pad column whenever OWP > OW; masked explicitly
             # otherwise.
             e = qv[:, 1:1 + TH]
@@ -672,12 +689,17 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     def fn(img):
         if packed_io:
-            if HP != H or WP != W:  # pad to the HBM (sublane, lane) tiling
+            if img.shape[1:] == (HP, WP):   # caller pre-padded (fn.pad_to)
+                pass
+            elif HP != H or WP != W:  # pad to the HBM (sublane, lane) tiling
                 img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
         else:
             img = img.astype(jnp.float32)
-            if HP != H or WP != W:
+            if img.shape[2:] == (HP, WP):
+                pass
+            elif HP != H or WP != W:
                 img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
         return call(statics[0], statics[1], statics[2], img, *statics[3:])
 
+    fn.pad_to = (HP, WP)   # feed (B, HP, WP) to skip the per-call pad
     return fn

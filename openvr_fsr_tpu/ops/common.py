@@ -16,6 +16,7 @@ __all__ = [
     "aprx_med_rcp",
     "aprx_lo_rsq",
     "rcp",
+    "rcp_ieee",
     "sat",
     "hlsl_min",
     "hlsl_max",
@@ -54,6 +55,39 @@ def aprx_lo_rsq(a):
 def rcp(a):
     """ARcpF1 — exact IEEE f32 division (see oracle.intrinsics.rcp)."""
     return F32(1.0) / a
+
+
+def rcp_ieee(b):
+    """Exactly-rounded f32 reciprocal on hardware whose native division is
+    1-2 ulp off IEEE (the TPU VPU; measured by tools/numerics_probe.py:
+    `1/b` mismatches RN on ~24% of inputs, max 1 ulp — the sole source of
+    the Pallas-vs-oracle parity gap, since the probe also shows the TPU
+    does NOT contract a*b+c into fma).
+
+    One residual-correction step with the b*q0 product computed exactly via
+    Dekker/Veltkamp splitting (no fma assumption — exactness of the split
+    relies on plain RN mul/sub, which is what the VPU does):
+        q0 = 1/b  (native, ~1 ulp)
+        r  = 1 - b*q0  (exact)
+        q  = q0 + r*q0
+    Verified exactly rounded on 2^20 random inputs on the real chip
+    (tools/numerics_probe.py "tpu corrected"); residual near-tie cases are
+    ~2^-21 probability, ≤1 ulp. Cost ~18 VPU ops. Non-finite q0 (b == 0,
+    subnormal/overflow edge) falls back to the native q0."""
+    one = F32(1.0)
+    q0 = one / b
+    C = F32((1 << 12) + 1)
+    bc = b * C
+    bh = bc - (bc - b)
+    bl = b - bh
+    qc = q0 * C
+    qh = qc - (qc - q0)
+    ql = q0 - qh
+    p = b * q0
+    e = (((bh * qh - p) + bh * ql) + bl * qh) + bl * ql   # b*q0 == p + e
+    r = (one - p) - e
+    q = q0 + r * q0
+    return jnp.where(jnp.isfinite(q), q, q0)
 
 
 def sat(a):

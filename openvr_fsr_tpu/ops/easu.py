@@ -9,7 +9,8 @@ the output column), so each tap is two static `take`s baked at trace time.
 import jax.numpy as jnp
 import numpy as np
 
-from .common import F32, aprx_lo_rcp, aprx_lo_rsq, rcp, sat, min3, max3
+from .common import (F32, aprx_lo_rcp, aprx_lo_rsq, rcp, rcp_ieee, sat,
+                     min3, max3)
 
 __all__ = ["easu_jax", "easu_index_maps", "easu_core", "easu_core_split",
            "TAP_ORDER"]
@@ -163,17 +164,25 @@ def easu_core(taps, ppx, ppy, dt=F32):
     return jnp.minimum(max4, jnp.maximum(min4, aC * _rcp_ex(aW)[None]))
 
 
-def easu_core_split(taps, ppx, ppy, dt=F32):
+def easu_core_split(taps, ppx, ppy, dt=F32, exact_div=False):
     """easu_core with channel-split taps: dict (dx, dy) -> [r, g, b] lists
     of 2-D planes. Identical f32 op order per element (the weight math is
     the same function; the per-channel accumulation is the same multiply/
     add without the channel-stacked intermediates) — used by the Pallas
     kernel, where stacking 12 (3, th, chunk) tap arrays per chunk costs
-    real VMEM copies. Returns [r, g, b]."""
+    real VMEM copies. Returns [r, g, b].
+
+    exact_div=True replaces the one true division of the resolve
+    (aC * ARcpF1(aW), ffx_fsr1.h:434) with the exactly-rounded rcp_ieee —
+    used by the Pallas TPU kernel, whose native f32 division is ~1 ulp off
+    IEEE and was the sole source of >1-LSB parity drift vs the oracle
+    (PARITY_r02.json; tools/numerics_probe.py)."""
     if dt is not F32:
         taps = {k: [p.astype(dt) for p in v] for k, v in taps.items()}
         ppx, ppy = jnp.asarray(ppx).astype(dt), jnp.asarray(ppy).astype(dt)
     _rcp_lo, _rsq_lo, _rcp_ex, _lt = _easu_fns(dt)
+    if exact_div and dt is F32:
+        _rcp_ex = rcp_ieee
 
     L = {off: c[2] * dt(0.5) + (c[0] * dt(0.5) + c[1])
          for off, c in taps.items()}
