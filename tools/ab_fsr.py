@@ -47,17 +47,14 @@ def main():
         for _ in range(3)]
 
     def build(flags):
-        saved = {k: getattr(KF, k) for k in flags}
-        for k, v in flags.items():
-            setattr(KF, k, v)
-        try:
-            fn = jax.jit(KF.build_fsr_fused(
-                2, h_in, w_in, out_w, out_h, sharpness=0.9, centres=centres))
-        finally:
-            for k, v in saved.items():
-                setattr(KF, k, v)
-        y = fn(imgs[0])                  # compile now (flags are snapshotted
-        _ = np.asarray(y[0, 0, 0])       # at build, but traced at first call)
+        # flag names accept both legacy "_SKIP_STAGE1" and "skip_stage1"
+        knobs = KF.DebugKnobs(
+            **{k.lstrip("_").lower(): v for k, v in flags.items()})
+        fn = jax.jit(KF.build_fsr_fused(
+            2, h_in, w_in, out_w, out_h, sharpness=0.9, centres=centres,
+            knobs=knobs))
+        y = fn(imgs[0])                  # compile now
+        _ = np.asarray(y[0, 0, 0])
         return fn
 
     variants = [("baseline", {})]

@@ -51,18 +51,12 @@ def main():
 
     def build(radius=0.5, band_rows=128, chunk=128, precision="full",
               **flags):
-        saved = {}
-        for k, v in flags.items():
-            saved[k] = getattr(KF, k)
-            setattr(KF, k, v)
-        try:
-            fn = KF.build_fsr_fused(
-                2, h_in, w_in, out_w, out_h, sharpness=0.9,
-                centres=centres(radius), band_rows=band_rows, chunk=chunk,
-                precision=precision)
-        finally:
-            for k, v in saved.items():
-                setattr(KF, k, v)
+        knobs = KF.DebugKnobs(
+            **{k.lstrip("_").lower(): v for k, v in flags.items()})
+        fn = KF.build_fsr_fused(
+            2, h_in, w_in, out_w, out_h, sharpness=0.9,
+            centres=centres(radius), band_rows=band_rows, chunk=chunk,
+            precision=precision, knobs=knobs)
         return jax.jit(fn)
 
     quick = "--quick" in sys.argv
