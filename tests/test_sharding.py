@@ -131,6 +131,23 @@ class Test8KStretchConfig:
                          .process(frames, eyes=eyes))
         assert np.array_equal(out, ref)
 
+    def test_8k_aspect_sharded_batch32(self, mesh):
+        """BASELINE.json config 5 as worded: batch=32 over the 8-device
+        mesh (local batch 4 per shard — the bench_8k.py per-chip config) at
+        the 8K aspect ratio. Validates the exact sharding the extrapolated
+        BENCH_8K.json number assumes."""
+        from openvr_fsr_tpu import Config, Pipeline
+
+        frames = _frames(32, 27, 48)       # 16:9, rs 0.75 -> 36 x 64
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=2.0)           # the 8K video config (bench_8k)
+        eyes = tuple(i % 2 for i in range(32))
+        ref = np.asarray(Pipeline(cfg, backend="xla")
+                         .process(frames, eyes=eyes))
+        out = np.asarray(ShardedPipeline(Pipeline(cfg, backend="xla"), mesh)
+                         .process(frames, eyes=eyes))
+        assert np.array_equal(out, ref)
+
 
 class TestShardedPackedU32:
     def test_packed_matches_u8(self, mesh):

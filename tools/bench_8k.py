@@ -60,14 +60,21 @@ def main():
     fleet_fps = 8 * 1000.0 / per_frame_ms  # batch=32 over 8 chips
 
     print(f"[bench8k] {per_frame_ms:.3f} ms/frame ({mpix_s:.0f} Mpix/s/chip; "
-          f"batch=32 on 8 chips -> {fleet_fps:.0f} fps)", file=sys.stderr)
+          f"batch=32 on 8 chips -> {fleet_fps:.0f} fps extrapolated)",
+          file=sys.stderr)
     line = {
         "metric": "fsr_8k_7680x4320_rs075_ms_per_frame",
         "value": round(per_frame_ms, 4),
         "unit": "ms",
         "mpix_per_s_per_chip": round(mpix_s, 1),
         "local_batch": local_b,
-        "sharded_equiv_fps_batch32_8chips": round(fleet_fps, 1),
+        # single-chip measurement x 8: NOT an 8-chip run. Frames are
+        # independent (batch-dim sharding, no collectives — validated on
+        # the virtual 8-device mesh by tests/test_sharding.py
+        # test_8k_aspect_sharded_batch32 and dryrun_multichip), but this
+        # environment has one physical chip.
+        "extrapolated_fps_batch32_8chips_from_1chip": round(fleet_fps, 1),
+        "measured_chips": 1,
     }
     print(json.dumps(line))
     with open("BENCH_8K.json", "w") as f:

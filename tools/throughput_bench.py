@@ -6,7 +6,7 @@ renderScale 0.75, sharpness 0.9, radius 0.5) at batch = 8 eyes (4 stereo
 pairs) per launch, with zero-copy packed-u32 IO (no u8<->u32 relayout on
 either side), and reports stereo pairs/s. Larger batches amortize the
 per-launch dispatch cost that dominates small-batch latency on the axon
-tunnel (tools/microbench4.py isolates it).
+tunnel (tools/microbench.py launch isolates it).
 
 Usage: python tools/throughput_bench.py [batch_eyes]
 """
