@@ -1,0 +1,137 @@
+"""PARITY_r03.json generator — Pallas-on-TPU vs the NumPy scalar oracle.
+
+The judge is oracle.pipeline.pipeline_oracle: the full reference pipeline
+composed from the scalar-faithful kernel oracles in pure NumPy (IEEE RN
+f32, no FMA contraction) — the "CPU scalar reference" of BASELINE target
+row 1. Every entry runs at full working resolution:
+
+  - FSR fused EASU+RCAS  1683x1869 -> 2244x2492, radius 0.5 and 2.0
+  - RCAS sharpen-only    rs=1 at 2244x2492
+  - FSR supersample      rs=1.3, 2244x2492 -> 2917x3239
+  - NVScaler             1683x1869 -> 2244x2492
+  - NVSharpen            rs=1 at 2244x2492
+  - CAS upscale/sharpen  same geometries
+
+Oracle outputs are cached in /tmp/parity_oracle_cache.npz (pure host
+work, ~minutes on one core). Run on the TPU host: the Pallas side uses
+the default backend (= pallas on TPU).
+
+Usage: python tools/parity_r03.py [--skip-nis] (skip NVScaler's minutes-long
+compile when iterating on the others)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+CACHE = "/tmp/parity_oracle_cache.npz"
+
+
+def main():
+    import jax
+
+    from openvr_fsr_tpu import Config, Pipeline
+    from openvr_fsr_tpu.oracle.pipeline import pipeline_oracle
+    from openvr_fsr_tpu.utils import frames as FR
+
+    skip_nis = "--skip-nis" in sys.argv
+
+    h_in, w_in = 1869, 1683          # headline render size (BASELINE.md)
+    oh, ow = 2492, 2244              # headline output size
+    frames = {
+        "zone_plate": FR.zone_plate_frame(h_in, w_in),
+        "noise": FR.noise_frame(h_in, w_in, seed=1),
+    }
+    big = {name: FR.zone_plate_frame(oh, ow) if name == "zone_plate"
+           else FR.noise_frame(oh, ow, seed=1) for name in ("zone_plate",)}
+
+    # (key, frame, kwargs-for-both-sides)
+    cases = [
+        ("fsr_fused_zone_r0.5", frames["zone_plate"],
+         dict(render_scale=0.75, sharpness=0.9, radius=0.5)),
+        ("fsr_fused_zone_r2.0", frames["zone_plate"],
+         dict(render_scale=0.75, sharpness=0.9, radius=2.0)),
+        ("fsr_fused_noise_r0.5", frames["noise"],
+         dict(render_scale=0.75, sharpness=0.9, radius=0.5)),
+        ("fsr_fused_noise_r2.0", frames["noise"],
+         dict(render_scale=0.75, sharpness=0.9, radius=2.0)),
+        ("rcas_only_zone", big["zone_plate"],
+         dict(render_scale=1.0, sharpness=0.9, radius=2.0)),
+        ("fsr_supersample_zone", big["zone_plate"],
+         dict(render_scale=1.3, sharpness=0.9, radius=2.0)),
+        ("cas_upscale_noise", frames["noise"],
+         dict(render_scale=0.75, sharpness=0.8, radius=2.0, use_cas=True)),
+        ("cas_sharpen_zone", big["zone_plate"],
+         dict(render_scale=1.0, sharpness=0.8, radius=2.0, use_cas=True)),
+    ]
+    if not skip_nis:
+        cases += [
+            ("nvscaler_noise", frames["noise"],
+             dict(render_scale=0.75, sharpness=0.7, radius=2.0,
+                  use_nis=True)),
+            ("nvscaler_zone_r0.5", frames["zone_plate"],
+             dict(render_scale=0.75, sharpness=0.7, radius=0.5,
+                  use_nis=True)),
+            ("nvsharpen_zone", big["zone_plate"],
+             dict(render_scale=1.0, sharpness=0.7, radius=2.0,
+                  use_nis=True)),
+        ]
+
+    cache = dict(np.load(CACHE)) if os.path.exists(CACHE) else {}
+
+    results = {}
+    for key, fr, kw in cases:
+        if key not in cache:
+            t0 = time.perf_counter()
+            cache[key] = pipeline_oracle(
+                fr, kw["render_scale"], kw["sharpness"],
+                use_nis=kw.get("use_nis", False),
+                use_cas=kw.get("use_cas", False), radius=kw["radius"])
+            print(f"[oracle] {key}: {time.perf_counter() - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+            np.savez_compressed(CACHE, **cache)
+        want = cache[key]
+
+        cfg = Config(enabled=True, render_scale=kw["render_scale"],
+                     sharpness=kw["sharpness"], radius=kw["radius"],
+                     use_nis=kw.get("use_nis", False),
+                     use_cas=kw.get("use_cas", False))
+        t0 = time.perf_counter()
+        got = np.asarray(Pipeline(cfg).process(fr[None], eyes=(0,)))[0]
+        print(f"[tpu] {key}: {time.perf_counter() - t0:.0f}s",
+              file=sys.stderr, flush=True)
+
+        d = np.abs(got.astype(np.int64) - want.astype(np.int64))
+        results[key] = {
+            "pixels": int(d.size),
+            "mismatch_gt0": int((d > 0).sum()),
+            "mismatch_gt1": int((d > 1).sum()),
+            "max_lsb": int(d.max()),
+        }
+        print(key, results[key], flush=True)
+
+    import jax as j
+    out = {
+        "hardware": str(j.devices()[0]),
+        "comparison": ("Pallas kernels on TPU (production backend) vs the "
+                       "NumPy scalar full-pipeline oracle "
+                       "(oracle/pipeline.py) — the CPU scalar reference of "
+                       "BASELINE target row 1. All entries at full working "
+                       "resolution."),
+        "results": results,
+        "all_max_lsb": max(r["max_lsb"] for r in results.values()),
+    }
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PARITY_r03.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print("PARITY_r03.json written:",
+          {k: v["max_lsb"] for k, v in results.items()})
+
+
+if __name__ == "__main__":
+    main()
