@@ -85,6 +85,7 @@ class DebugKnobs:
     mm_only: bool = False         # gather matmuls without easu_core
     skip_prologue: bool = False   # skip the band row-gather matmul
     no_derive: bool = False       # force the 4-block matmul prologue
+    no_derive_cols: bool = False  # force the 4-dx-stacked column matmul
     no_gating: bool = False       # drop pl.when chunk gating
     # Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
     # Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
@@ -155,6 +156,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _MM_ONLY = kn.mm_only
     _SKIP_PROLOGUE = kn.skip_prologue
     _NO_DERIVE = kn.no_derive
+    _NO_DERIVE_COLS = kn.no_derive_cols
     _NO_GATING = kn.no_gating
     _EPI_SPECIALIZE = kn.epi_specialize
     _FORCE_HIGHEST = kn.force_highest
@@ -254,6 +256,37 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     KC = min(cKc, W)
     cw0 = [min(w0, W - KC) for w0 in cw0]
 
+    # --- derived-columns structure (mirror of the derived-rows prologue) ----
+    # fxi is monotone with steps <= 1 (EASU always upscales here), so the 4
+    # dx column blocks of each chunk are views of ONE extended dx=0 gather:
+    # the dx tap at output column c equals the extended gather at lane
+    # j = c + 2 + s with a canonical shift s taking one of two values per
+    # dx, selected by a host mask. The per-chunk EASU column matmul output
+    # shrinks from 4*CHUNK to EXTC_P (= 2*CHUNK) lanes; the dx != 0 taps
+    # become static (unaligned) lane slices + one select. Host-verified per
+    # build on live columns; falls back to the 4-block layout otherwise.
+    EXTC = CHUNK + 5                     # j = c + 2 + s, s in [-2, 3]
+    EXTC_P = _round_up(EXTC, 128)
+    _CSHIFTS = {-1: (-1, -2), 1: (1, 2), 2: (2, 3)}
+    derive_cols_ok = not _NO_DERIVE_COLS
+    cmasks = np.zeros((NCHUNK, 3, 1, CHUNK), np.float32)  # dx -1,1,2: 1 = s1
+    fxi_ext = np.zeros((NCHUNK, EXTC), np.int64)
+    for k in range(NCHUNK):
+        js = np.clip(np.arange(k * CHUNK - 2, k * CHUNK - 2 + EXTC),
+                     0, OWP - 1)
+        fxi_ext[k] = fxi_p[js]
+        col_live = np.arange(k * CHUNK, (k + 1) * CHUNK) < OW
+        for mi, dx in enumerate((-1, 1, 2)):
+            s1, s2 = _CSHIFTS[dx]
+            tgt = np.clip(fxi_p[k * CHUNK:(k + 1) * CHUNK] + dx,
+                          0, W - 1) - cw0[k]
+            v1 = np.clip(fxi_ext[k, 2 + s1:2 + s1 + CHUNK], 0, W - 1) - cw0[k]
+            v2 = np.clip(fxi_ext[k, 2 + s2:2 + s2 + CHUNK], 0, W - 1) - cw0[k]
+            m1 = v1 == tgt
+            if not ((m1 | (v2 == tgt)) | ~col_live).all():
+                derive_cols_ok = False
+            cmasks[k, mi, 0] = m1
+
     # Host-side foveation: the 16x16-group circle test (fsr_easu.hlsl:41-45)
     # depends only on static centres, so the whole per-pixel mask state is
     # precomputed: 0 = outside radius, 1 = inside, 2 = out of image (zero
@@ -324,12 +357,22 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             blocks = [_row_oh(fyi_e[i] + dy, i, TP) for dy in _DYS]
             blocks += [_row_oh(by0_e[i], i, TP), _row_oh(by0_e[i] + 1, i, TP)]
             rstack[i] = np.concatenate(blocks, axis=0)
-    # Cols: per chunk, blocks [dx=-1,0,1,2, bilin x0, bilin x1] -> (KC, 6*CHUNK)
+    # Cols per chunk. Derived layout: [extended dx=0 EASU gather (EXTC_P) |
+    # bilin x0 | bilin x1]; fallback: [dx=-1,0,1,2 | bilin x0 | bilin x1].
+    # One-hot rows whose index falls outside the chunk window are all-zero;
+    # such extended lanes are never selected (host-verified above).
     iota_kc_np = np.arange(KC)[:, None]
-    sstack = np.zeros((NCHUNK, KC, 6 * CHUNK), np.float32)
+    S_E_COLS = EXTC_P if derive_cols_ok else 4 * CHUNK
+    sstack = np.zeros((NCHUNK, KC, S_E_COLS + 2 * CHUNK), np.float32)
     for k in range(NCHUNK):
         cs = slice(k * CHUNK, k * CHUNK + CHUNK)
-        blocks = [np.clip(fxi_p[cs] + dx, 0, W - 1) - cw0[k] for dx in (-1, 0, 1, 2)]
+        if derive_cols_ok:
+            ext_idx = np.full(EXTC_P, -1, np.int64)
+            ext_idx[:EXTC] = np.clip(fxi_ext[k], 0, W - 1) - cw0[k]
+            blocks = [ext_idx]
+        else:
+            blocks = [np.clip(fxi_p[cs] + dx, 0, W - 1) - cw0[k]
+                      for dx in (-1, 0, 1, 2)]
         blocks += [np.clip(bx0_p[cs], 0, W - 1) - cw0[k],
                    np.clip(bx0_p[cs] + 1, 0, W - 1) - cw0[k]]
         sstack[k] = (iota_kc_np == np.concatenate(blocks)[None, :])
@@ -347,7 +390,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,
-               out_ref, inbuf, g_rows, s_easu, s_bilx, sems):
+               cmk_r, out_ref, inbuf, g_rows, s_easu, s_bilx, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -488,16 +531,34 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         dyi = {dy: j for j, dy in enumerate(_DYS)}
 
         def _easu_chunk(k, c0, w0, ppx_c):
-            s_e = sst_r[k, :, :4 * CHUNK]               # (KC, 4*CHUNK)
+            s_e = sst_r[k, :, :S_E_COLS]                # (KC, S_E_COLS)
             ge = g_rows[:3 * N_EASU, w0:w0 + KC]
-            t = _mm2(ge, s_e)                           # (3*4*TP, 4*CHUNK)
+            t = _mm2(ge, s_e)                           # (3*4*TP, S_E_COLS)
             taps = {}
-            for (dx, dy) in TAP_ORDER:
-                taps[(dx, dy)] = [
-                    t[c * N_EASU + dyi[dy] * TP:
-                      c * N_EASU + dyi[dy] * TP + TH_E,
-                      (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax
-                    for c in range(3)]
+            if derive_cols_ok:
+                cm = cmk_r[k]                           # (3, 1, CHUNK) f32
+                cmi = {-1: 0, 1: 1, 2: 2}
+                for (dx, dy) in TAP_ORDER:
+                    rows = [slice(c * N_EASU + dyi[dy] * TP,
+                                  c * N_EASU + dyi[dy] * TP + TH_E)
+                            for c in range(3)]
+                    if dx == 0:
+                        taps[(dx, dy)] = [
+                            t[r, 2:2 + CHUNK] * inv_cmax for r in rows]
+                    else:
+                        s1, s2 = _CSHIFTS[dx]
+                        m = cm[cmi[dx]] > F32(0.5)
+                        taps[(dx, dy)] = [
+                            jnp.where(m, t[r, 2 + s1:2 + s1 + CHUNK],
+                                      t[r, 2 + s2:2 + s2 + CHUNK]) * inv_cmax
+                            for r in rows]
+            else:
+                for (dx, dy) in TAP_ORDER:
+                    taps[(dx, dy)] = [
+                        t[c * N_EASU + dyi[dy] * TP:
+                          c * N_EASU + dyi[dy] * TP + TH_E,
+                          (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax
+                        for c in range(3)]
             if _MM_ONLY:  # profiling: isolate the gather-matmul cost
                 for c in range(3):
                     s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
@@ -513,7 +574,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
 
         def _bil_chunk(k, c0, w0):
-            s_b = sst_r[k, :, 4 * CHUNK:]               # (KC, 2*CHUNK)
+            s_b = sst_r[k, :, S_E_COLS:]                # (KC, 2*CHUNK)
             fxc = fbx_r[k]                              # (1, CHUNK)
             gb = g_rows[3 * N_EASU:, w0:w0 + KC]
             t = _mm2(gb, s_b)                           # (3*2*TP, 2*CHUNK)
@@ -648,12 +709,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             pl.BlockSpec(memory_space=pl.ANY),  # img stays in HBM
             pl.BlockSpec((1, 1, TH_E, OWP), lambda b, i, *_: (b, i, 0, 0)),
             pl.BlockSpec((1, N_RIN, IH), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((NCHUNK, KC, 6 * CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((NCHUNK, KC, S_E_COLS + 2 * CHUNK),
+                         lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH_E, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, 3, TH_E, 1), lambda b, i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((NCHUNK, 3, 1, CHUNK), lambda b, i, *_: (0, 0, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
                    if packed_io else
@@ -685,7 +748,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
                jnp.asarray(band_cls), jnp.asarray(mstate.astype(np.int8))] \
         + onehots + [jnp.asarray(a) for a in rowmaps + colmaps] \
-        + [jnp.asarray(dymasks)]
+        + [jnp.asarray(dymasks), jnp.asarray(cmasks)]
 
     def fn(img):
         if packed_io:
