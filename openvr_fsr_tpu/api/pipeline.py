@@ -31,6 +31,7 @@ from ..ops.nis import nvscaler_jax, nvsharpen_jax
 from ..utils.frames import to_planar, from_planar
 from ..utils.log import get_logger
 from ..utils.timing import GpuTimer
+from .capture import save_frame
 
 __all__ = ["Pipeline", "upscale"]
 
@@ -95,6 +96,8 @@ class Pipeline:
         self._cache = {}
         self.timer = GpuTimer(scale_for_stereo=single_eye_per_frame)
         self._log = get_logger()
+        self._capture_armed = None   # (directory, formats) when armed
+        self.last_capture_paths = []
 
     def _resolve_backend(self):
         if self.backend == "auto":
@@ -590,9 +593,34 @@ class Pipeline:
             out = self.timer.measure(fn, inp, pairs=pairs)
         else:
             out = fn(inp)
+        if self._capture_armed is not None:
+            # Deferred capture (PostProcessor.cpp:634-637): the armed flag
+            # saves the *next processed left-eye frame* and clears itself.
+            # Double-wide frames contain the left eye, so any frame counts.
+            idx = (0 if not self.single_eye_per_frame
+                   else next((i for i, e in enumerate(eyes) if e == 0), None))
+            if idx is not None:
+                directory, formats = self._capture_armed
+                self._capture_armed = None
+                self.last_capture_paths = save_frame(
+                    np.asarray(out[idx]), directory=directory,
+                    use_nis=self.config.use_nis,
+                    sharpness=self.config.sharpness,
+                    radius=self.config.radius, formats=formats)
+                self._log.info("Captured frame to %s",
+                               [str(p) for p in self.last_capture_paths])
         if crop and first_bounds is not None:
             out = self.crop_output(out, first_bounds)
         return out[0] if squeeze else out
+
+    def arm_capture(self, directory=".", formats=("dds",)):
+        """Arm a deferred capture: the next `process` call that includes a
+        left-eye (eye 0) frame saves its processed output with the
+        reference filename scheme, then the flag clears — the semantics of
+        the reference's takeCapture hotkey (PostProcessor.cpp:707 sets the
+        flag, :634-637 saves on the next Eye_Left submit). Written paths
+        land in `self.last_capture_paths`."""
+        self._capture_armed = (directory, tuple(formats))
 
 
 def upscale(frame, render_scale=None, sharpness=0.9, use_nis=False, radius=0.5,

@@ -15,17 +15,16 @@ same foveation/debug-tint semantics as the FSR and NIS wrappers:
     the maxColorDelta clamp; passthrough (+ tint) outside the circle like
     fsr_rcas.hlsl:44-47.
 
-TPU-first design is the v3 fused-FSR scheme (kernels/fsr.py): the grid is
-(batch, row_band); each band DMAs a full-width input row window HBM->VMEM
-(double-buffered); a single one-hot row-gather matmul per channel stages
-all dy tap rows + the two bilinear rows; per 128-column chunk one stacked
-column matmul yields every (dy, dx) tap combination at once. CAS's 4x4
-footprint uses the same dx, dy in {-1, 0, 1, 2} offsets as EASU, but with
-the Load() zero-OOB rule (ops/cas.cas_upscale_jax pads with zeros) — the
+TPU-first design is the v3 fused-FSR scheme (kernels/fsr.py): per row
+band a single one-hot row-gather matmul per channel stages all dy tap
+rows + the two bilinear rows; per 128-column chunk one stacked column
+matmul yields every (dy, dx) tap combination at once. CAS's 4x4 footprint
+uses the same dx, dy in {-1, 0, 1, 2} offsets as EASU, but with the
+Load() zero-OOB rule (ops/cas.cas_upscale_jax pads with zeros) — the
 one-hot matrices encode that directly: out-of-image rows/columns are
 all-zero rows of the gather matrix, so no clamp-composition blocks are
-needed. Texels are integers <= 255, hence bf16 one-hot matmuls with f32
-accumulation are bit-exact for 8-bit frames (f32 HIGHEST for 10-bit).
+needed. The outer machine (row-band grid, DMA ring, packed-u32 IO, mask
+state, zero-OOB lane taps) is the shared scaffold in kernels/_band.py.
 """
 
 import jax
@@ -38,6 +37,7 @@ from ..core import foveation as fov
 from ..ops.cas import (cas_core, cas_upscale_core, cas_setup_sharp,
                        cas_upscale_index_maps)
 from .fsr import _bilinear_axis  # DirectCopy bilinear maps (shared)
+from . import _band as BD
 
 __all__ = ["build_cas_upscale", "build_cas_sharpen"]
 
@@ -53,10 +53,6 @@ CAS_USED_TAPS = tuple((dx, dy) for dy in (-1, 0, 1, 2)
 _CHUNK = 128
 
 
-def _round_up(x, m):
-    return -(-int(x) // m) * m
-
-
 def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                       centres, color_bits=8, debug=False, band_rows=128,
                       chunk=_CHUNK, precision="full", interpret=False):
@@ -68,7 +64,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     """
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
-    OWP_EST = _round_up(OW, int(chunk))
+    OWP_EST = BD.round_up(OW, int(chunk))
     while band_rows > 32 and 9 * (int(band_rows)) * OWP_EST * 4 > 24 * 2**20:
         band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
@@ -78,20 +74,13 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     OWP = NCHUNK * CHUNK
     TOTAL = B * GY
 
-    cmax = F32((1 << color_bits) - 1)
-    inv_cmax = F32(1.0) / cmax
-    exact_bf16 = color_bits <= 8
     import ml_dtypes
     core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
+    pol = BD.io_policy(color_bits)
+    inv_cmax, cmax = pol.inv_cmax, pol.cmax
     sharp = cas_setup_sharp(sharpness)
     tint = (F32(0.7), F32(0.7)) if debug else None
-
-    packed_io = exact_bf16
-    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 8
-    HP = _round_up(H, row_align)
-    WP = _round_up(W, 128)
+    HP, WP = BD.input_padding(H, W)
 
     # ---- host-side static maps ----------------------------------------------
     fxi, ppx = cas_upscale_index_maps(W, OW)
@@ -119,9 +108,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     np.clip(by0_e[:, 0], 0, H - 1))
     hi = np.maximum(np.clip(fyi_e[:, -1] + 2, 0, H - 1),
                     np.clip(by0_e[:, -1] + 1, 0, H - 1))
-    lo_a = (lo // row_align) * row_align
-    IH = min(_round_up(int((hi - lo_a + 1).max()), row_align), HP)
-    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+    IH, oy_all = BD.row_windows(lo, hi, HP)
 
     # per-chunk static input column windows
     cw0, cKc = [], 0
@@ -137,32 +124,11 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     cw0 = [min(w0, W - KC) for w0 in cw0]
 
     # host-side foveation state: 0 outside, 1 inside, 2 out-of-image cols
-    centres = np.asarray(centres, np.int64).reshape(B, 5)
-    cls = np.zeros((B, GY, NCHUNK), np.int32)
-    mstate = np.zeros((B, GY, TH, OWP), np.uint8)
-    for bi in range(B):
-        cl = (centres[bi, 0], centres[bi, 1])
-        cr = (centres[bi, 2], centres[bi, 3])
-        pm = fov.pixel_mask(OW, OH, fov.TILE_FSR, (cl, cr),
-                            int(centres[bi, 4]))
-        pm_p = np.zeros((OH, OWP), bool)
-        pm_p[:, :OW] = pm
-        for i in range(GY):
-            st = pm_p[rows_o[i]].astype(np.uint8)
-            st[:, OW:] = 2
-            mstate[bi, i] = st
-            for k in range(NCHUNK):
-                sub = st[:, k * CHUNK:(k + 1) * CHUNK]
-                ins = (sub == 1)
-                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
-                                 else (1 if ins.any() else 0))
-    cls_flat = cls.reshape(-1)
-    band_cls = np.where((cls == 0).all(-1), 0,
-                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
-    band_cls = band_cls.reshape(-1)
+    mstate, cls_flat, band_cls = BD.mask_state(
+        B, centres, OW, OH, OWP, fov.TILE_FSR, rows_o, chunk=CHUNK)
 
     # ---- one-hot gather matrices (zero rows/cols for Load() OOB) ------------
-    TP = _round_up(TH, 8)
+    TP = BD.round_up(TH, 8)
     N_CAS = 4 * TP
     N_BIL = 2 * TP
     N_ROW = N_CAS + N_BIL
@@ -204,16 +170,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                            ).astype(np.float32))
         sstack[k] = np.concatenate(blocks, axis=1)
 
-    def _mm(a, b):
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
-
-    def _mm2(a, b):
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
-
+    _mm, _mm2 = BD.mm_fns(pol)
     dyi = {dy: j for j, dy in enumerate(_DYS)}
 
     def kernel(oy_ref, cls_ref, bcls_ref,
@@ -222,40 +179,10 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
-
-        def dma(slot, bb, ii):
-            if packed_io:
-                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
-                                       IH)]
-            else:
-                src = img.at[bb, :, pl.ds(
-                    pl.multiple_of(oy_ref[ii], row_align), IH)]
-            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
-
-        @pl.when(step == 0)
-        def _():
-            dma(0, b, i).start()
-
-        @pl.when(step + 1 < TOTAL)
-        def _():
-            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
-
-        slot = jax.lax.rem(step, 2)
-        dma(slot, b, i).wait()
-
-        if packed_io:
-            raw = inbuf[slot].astype(jnp.int32)
-            chans = [jnp.bitwise_and(
-                jax.lax.shift_right_logical(raw, 8 * c), 255
-            ).astype(jnp.bfloat16) for c in range(3)]
-
-            def inp_full(c):
-                return chans[c]
-        else:
-            band = inbuf[slot]
-
-            def inp_full(c):
-                return band[c]
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=pol.packed_io, ih=IH, gy=GY,
+                                total=TOTAL)
+        chans = BD.band_channels(inbuf, slot, pol.packed_io, 3)
 
         ppy_t = ppy_r[0]                     # (TH, 1)
         one = F32(1.0)
@@ -263,7 +190,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # band prologue: one row-gather matmul per channel
         r_all = rst_r[0]
         for c in range(3):
-            g = _mm(r_all, inp_full(c))
+            g = _mm(r_all, chans[c])
             g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
 
         def _cas_chunk(k, c0, w0, ppx_c):
@@ -321,13 +248,8 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         if tint is not None:
             bil = jnp.stack([bil[0], bil[1] * tint[0], bil[2] * tint[1]], 0)
         res = jnp.where((ms == 1)[None], s_cas[:], bil)
-        if packed_io:
-            q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                      + jax.lax.shift_left(q8[2], 16)
-                      + jnp.int32(-16777216))            # alpha 255 << 24
-            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+        if pol.packed_io:
+            BD.pack_store_u32(out_ref, res, None, cmax, OW)
         else:
             out_ref[0] = res[:, :, :OW]
 
@@ -345,12 +267,12 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
-                   if packed_io else
+                   if pol.packed_io else
                    pl.BlockSpec((1, 3, TH, OW), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if pol.packed_io
              else pltpu.VMEM((2, 3, IH, WP), jnp.float32)),
-            pltpu.VMEM((3 * N_ROW, WP), mm_dtype),
+            pltpu.VMEM((3 * N_ROW, WP), pol.mm_dtype),
             pltpu.VMEM((3, TH, OWP), jnp.float32),
             pltpu.VMEM((3, 2 * TH, OWP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -361,7 +283,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, OH, OW), jnp.uint32)
-                   if packed_io else
+                   if pol.packed_io else
                    jax.ShapeDtypeStruct((B, 3, OH, OW), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -372,21 +294,15 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     colmaps = [ppx_p.reshape(NCHUNK, 1, CHUNK).astype(np.float32),
                fbx_p.reshape(NCHUNK, 1, CHUNK)]
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
-               jnp.asarray(band_cls), jnp.asarray(mstate.astype(np.int8)),
-               jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype)] \
+               jnp.asarray(band_cls), jnp.asarray(mstate),
+               jnp.asarray(rstack, pol.mm_dtype),
+               jnp.asarray(sstack, pol.mm_dtype)] \
         + [jnp.asarray(a) for a in rowmaps + colmaps]
 
-    def fn(img):
-        if packed_io:
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
-        else:
-            img = img.astype(jnp.float32)
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], statics[2], img, *statics[3:])
-
-    return fn
+    return BD.make_io_fn(
+        lambda img: call(statics[0], statics[1], statics[2], img,
+                         *statics[3:]),
+        H, W, HP, WP, pol.packed_io)
 
 
 def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
@@ -403,88 +319,37 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     GY = -(-H // TH)
     TOTAL = B * GY
 
-    cmax = F32((1 << color_bits) - 1)
-    inv_cmax = F32(1.0) / cmax
-    # R10G10B10A2: the alpha texel is 2-bit (decode a/3, utils.frames)
-    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
-    exact_bf16 = color_bits <= 8
+    pol = BD.io_policy(color_bits)
+    inv_cmax, inv_amax, cmax = pol.inv_cmax, pol.inv_amax, pol.cmax
     sharp = cas_setup_sharp(sharpness)
     tint = (F32(0.7), F32(0.7)) if debug else None
-
-    packed_io = exact_bf16
-    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 8
-    HP = _round_up(H, row_align)
-    WP = _round_up(W, 128)
+    HP, WP = BD.input_padding(H, W)
 
     rows_e = np.clip(np.arange(GY)[:, None] * TH - 1
                      + np.arange(TH_E)[None, :], 0, H - 1)
-    lo_a = (rows_e[:, 0] // row_align) * row_align
-    IH = min(_round_up(int((rows_e[:, -1] - lo_a + 1).max()), row_align), HP)
-    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+    IH, oy_all = BD.row_windows(rows_e[:, 0], rows_e[:, -1], HP)
 
     rstack = np.zeros((GY, TH_E, IH), np.float32)
     for i in range(GY):
         rstack[i] = (rows_e[i] - oy_all[i])[:, None] == np.arange(IH)[None, :]
 
-    centres = np.asarray(centres, np.int64).reshape(B, 5)
     row_ok = ((np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] >= 0)
               & (np.arange(GY)[:, None] * TH - 1
                  + np.arange(TH_E)[None, :] < H))
-    mstate = np.zeros((B, GY, TH_E, WP), np.int8)
-    for bi in range(B):
-        pm = fov.pixel_mask(W, H, fov.TILE_FSR,
-                            ((centres[bi, 0], centres[bi, 1]),
-                             (centres[bi, 2], centres[bi, 3])),
-                            int(centres[bi, 4]))
-        pm_p = np.zeros((H, WP), bool)
-        pm_p[:, :W] = pm
-        for i in range(GY):
-            st = pm_p[rows_e[i]].astype(np.int8)
-            st[~row_ok[i]] = 2
-            st[:, W:] = 2
-            mstate[bi, i] = st
+    mstate, _, _ = BD.mask_state(B, centres, W, H, WP, fov.TILE_FSR,
+                                 rows_e, row_ok)
 
-    def _mm(a, b):
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
+    _mm, _ = BD.mm_fns(pol)
 
     def kernel(oy_ref, img, mst_r, rst_r, out_ref, inbuf, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
-
-        def dma(slot, bb, ii):
-            if packed_io:
-                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
-                                       IH)]
-            else:
-                src = img.at[bb, :, pl.ds(
-                    pl.multiple_of(oy_ref[ii], row_align), IH)]
-            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
-
-        @pl.when(step == 0)
-        def _():
-            dma(0, b, i).start()
-
-        @pl.when(step + 1 < TOTAL)
-        def _():
-            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
-
-        slot = jax.lax.rem(step, 2)
-        dma(slot, b, i).wait()
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=pol.packed_io, ih=IH, gy=GY,
+                                total=TOTAL)
         rsel = rst_r[0]
-
-        if packed_io:
-            raw = inbuf[slot].astype(jnp.int32)
-            band = [jnp.bitwise_and(
-                jax.lax.shift_right_logical(raw, 8 * c), 255
-            ).astype(jnp.bfloat16) for c in range(4)]
-        else:
-            band4 = inbuf[slot]
-            band = [band4[c] for c in range(4)]
+        band = BD.band_channels(inbuf, slot, pol.packed_io, 4)
 
         ms = mst_r[0, 0].astype(jnp.int32)
         gathered = jnp.stack([_mm(rsel, band[c]) for c in range(4)], 0)
@@ -496,19 +361,11 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
                 [masked[:3] * inv_cmax, masked[3:] * inv_amax], axis=0)
 
         qv = dec[:3]
-        # CasLoad zero-OOB taps via lane rotates (see kernels/fsr.py
-        # epilogue): wrapped lanes land on zeroed pad columns when WP > W,
-        # masked explicitly otherwise.
-        lane = (jax.lax.broadcasted_iota(jnp.int32, (3, TH, WP), 2)
-                if WP == W else None)
+        # CasLoad zero-OOB taps via lane rotates for each of the 3 dy rows
         taps = {}
         for dy in (-1, 0, 1):
             r = qv[:, 1 + dy:1 + dy + TH]
-            lf = pltpu.roll(r, 1, 2)
-            rt = pltpu.roll(r, WP - 1, 2)
-            if lane is not None:
-                lf = jnp.where(lane == 0, F32(0.0), lf)
-                rt = jnp.where(lane == WP - 1, F32(0.0), rt)
+            lf, rt = BD.htaps_zero_oob(r, WP, W)
             taps[dy, -1], taps[dy, 0], taps[dy, 1] = lf, r, rt
         e = taps[0, 0]
         sh = cas_core(taps, sharp, max_color_delta,
@@ -521,15 +378,8 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         rgb = jnp.where(m_in, sh, fb)
         alpha_src = dec[3:4][:, 1:1 + TH]
         alpha = jnp.where(m_in, F32(1.0), alpha_src)
-        if packed_io:
-            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                      + jax.lax.shift_left(q8[2], 16)
-                      + jax.lax.shift_left(qa, 24))
-            out_ref[0] = packed.astype(jnp.uint32)[:, :W]
+        if pol.packed_io:
+            BD.pack_store_u32(out_ref, rgb, alpha[0], cmax, W)
         else:
             out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :W]
 
@@ -542,10 +392,10 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
             pl.BlockSpec((1, TH_E, IH), lambda b, i, *_: (i, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, TH, W), lambda b, i, *_: (b, i, 0))
-                   if packed_io else
+                   if pol.packed_io else
                    pl.BlockSpec((1, 4, TH, W), lambda b, i, *_: (b, 0, i, 0))),
         scratch_shapes=[
-            (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
+            (pltpu.VMEM((2, IH, WP), jnp.uint32) if pol.packed_io
              else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -555,7 +405,7 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
         kernel,
         grid_spec=grid_spec,
         out_shape=(jax.ShapeDtypeStruct((B, H, W), jnp.uint32)
-                   if packed_io else
+                   if pol.packed_io else
                    jax.ShapeDtypeStruct((B, 4, H, W), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -563,16 +413,8 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
     )
 
     statics = [jnp.asarray(oy_all), jnp.asarray(mstate),
-               jnp.asarray(rstack, mm_dtype)]
+               jnp.asarray(rstack, pol.mm_dtype)]
 
-    def fn(img):
-        if packed_io:
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
-        else:
-            img = img.astype(jnp.float32)
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], img, statics[1], statics[2])
-
-    return fn
+    return BD.make_io_fn(
+        lambda img: call(statics[0], img, statics[1], statics[2]),
+        H, W, HP, WP, pol.packed_io)

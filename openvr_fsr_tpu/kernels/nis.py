@@ -386,10 +386,18 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
     CHUNK = int(chunk)
-    TH = OH if OH <= int(band_rows) else int(band_rows)
-    GY = -(-OH // TH)
     NCHUNK = -(-OW // CHUNK)
     OWP = NCHUNK * CHUNK
+    # VMEM auto-shrink (mirrors kernels/fsr.py): the kernel's scoped-VMEM
+    # stack scales ~linearly with band_rows x padded width (per-chunk luma/
+    # coefficient temporaries + the band scratches). Calibrated against the
+    # measured 121 MB scoped allocation at (band 128, OWP 2304) on v5e
+    # (100 MB limit); halve the band until the estimate fits.
+    while band_rows > 16 and \
+            121.0 * (band_rows / 128.0) * (OWP / 2304.0) > 80.0:
+        band_rows = int(band_rows) // 2
+    TH = OH if OH <= int(band_rows) else int(band_rows)
+    GY = -(-OH // TH)
     TOTAL = B * GY
     cfg = nis_cfg
 

@@ -197,6 +197,28 @@ class TestCapture:
         assert any(n.startswith("capture_") and n.endswith("_fsr_s90_r50.dds")
                    for n in names)
 
+    def test_arm_capture_saves_next_left_eye(self, tmp_path):
+        # PostProcessor.cpp:634-637 — the armed flag saves on the next
+        # Eye_Left frame only, then clears
+        from openvr_fsr_tpu.api.capture import read_dds_rgba8
+
+        pipe = Pipeline(Config(enabled=True, render_scale=0.75,
+                               sharpness=0.9, radius=2.0))
+        fr = FR.noise_frame(40, 36)
+        pipe.arm_capture(tmp_path)
+        # a right-eye-only batch must NOT trigger the capture
+        pipe.process(fr[None], eyes=(1,))
+        assert pipe._capture_armed is not None and not list(
+            tmp_path.iterdir())
+        out = np.asarray(pipe.process(np.stack([fr, fr]), eyes=(1, 0)))
+        assert pipe._capture_armed is None
+        (path,) = pipe.last_capture_paths
+        assert path.name.endswith("_fsr_s90_r200.dds")
+        assert np.array_equal(read_dds_rgba8(path), out[1])
+        # one-shot: the next left-eye frame does not capture again
+        pipe.process(fr[None], eyes=(0,))
+        assert len(list(tmp_path.iterdir())) == 1
+
 
 class TestTextureBounds:
     """VRTextureBounds_t semantics (headers/openvr.h:609-613,
