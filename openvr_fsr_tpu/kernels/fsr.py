@@ -55,9 +55,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core import constants as C
-from ..core import foveation as fov
 from ..ops.easu import easu_core_split, easu_index_maps, TAP_ORDER
 from ..ops.rcas import rcas_core
+from . import _band as BD
 
 __all__ = ["build_fsr_fused", "DebugKnobs"]
 
@@ -176,18 +176,19 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     OWP = NCHUNK * CHUNK
     TOTAL = B * GY
 
-    cmax = F32((1 << color_bits) - 1)
-    inv_cmax = F32(1.0) / cmax
-    exact_bf16 = color_bits <= 8 and not _FORCE_HIGHEST  # ints <= 255: bf16-exact
+    pol = BD.io_policy(color_bits, force_highest=_FORCE_HIGHEST)
+    cmax, inv_cmax = pol.cmax, pol.inv_cmax
+    exact_bf16 = pol.exact_bf16          # ints <= 255: bf16-exact
     import ml_dtypes
     core_dt = F32 if precision == "full" else ml_dtypes.bfloat16
     sharp_lin = C.fsr_rcas_con(C.rcas_stops_from_slider(sharpness))
     tint = (F32(0.7), F32(0.7)) if debug else None  # g,b multipliers
 
-    packed_io = exact_bf16              # u32-packed RGBA8 IO fast path
-    row_align = 8                        # (8,128) tiling for u32 and f32
-    HP = _round_up(H, row_align)         # row-sliced DMA: rows align to sublane
-    WP = _round_up(W, 128)               # ...and the full copy width to lanes
+    # NOTE: packed_io keys on exact_bf16 (not color_bits) here — the
+    # force_highest profiling knob must also disable the u32 fast path.
+    packed_io = exact_bf16               # u32-packed RGBA8 IO fast path
+    row_align = BD.ROW_ALIGN             # (8,128) tiling for u32 and f32
+    HP, WP = BD.input_padding(H, W)
 
     # --- host-side static maps ------------------------------------------------
     con = C.fsr_easu_con(W, H, W, H, OW, OH)
@@ -239,9 +240,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     if derive_ok:  # the extended gather may reach one row further out
         lo = np.minimum(lo, np.clip(fyi_x[:, 0], 0, H - 1))
         hi = np.maximum(hi, np.clip(fyi_x[:, -1], 0, H - 1))
-    lo_a = (lo // row_align) * row_align
-    IH = min(_round_up(int((hi - lo_a + 1).max()), row_align), HP)
-    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+    IH, oy_all = BD.row_windows(lo, hi, HP)
 
     # per-chunk static input column windows (indices clip to [0, W-1])
     cw0, cKc = [], 0
@@ -290,41 +289,19 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     # Host-side foveation: the 16x16-group circle test (fsr_easu.hlsl:41-45)
     # depends only on static centres, so the whole per-pixel mask state is
     # precomputed: 0 = outside radius, 1 = inside, 2 = out of image (zero
-    # per the RCAS Load() rule). Expanded per band incl. the +-1 halo rows.
-    centres = np.asarray(centres, np.int64).reshape(B, 5)
-    cls = np.zeros((B, GY, NCHUNK), np.int32)
-    mstate = np.zeros((B, GY, TH_E, OWP), np.uint8)  # chunked below
+    # per the RCAS Load() rule). Expanded per band incl. the +-1 halo rows;
+    # per-chunk classes inspect the +-1 column halo (the chunk EASU math
+    # reads neighbor columns).
     rows_g = np.clip(np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :],
                      0, OH - 1)
     row_ok = ((np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] >= 0)
               & (np.arange(GY)[:, None] * TH - 1 + np.arange(TH_E)[None, :] < OH))
-    for bi in range(B):
-        cl = (centres[bi, 0], centres[bi, 1])
-        cr = (centres[bi, 2], centres[bi, 3])
-        pm = fov.pixel_mask(OW, OH, (16, 16), (cl, cr), int(centres[bi, 4]))
-        pm_p = np.zeros((OH, OWP), bool)
-        pm_p[:, :OW] = pm
-        for i in range(GY):
-            st = pm_p[rows_g[i]].astype(np.uint8)
-            st[~row_ok[i]] = 2
-            st[:, OW:] = 2
-            mstate[bi, i] = st
-            for k in range(NCHUNK):
-                h0, h1 = max(0, k * CHUNK - 1), min(OWP - 1, k * CHUNK + CHUNK)
-                sub = st[:, h0:h1 + 1]
-                ins = (sub == 1)
-                # state-2 (out-of-image) pixels are zeroed later regardless,
-                # so they don't block the all-inside fast class
-                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
-                                 else (1 if ins.any() else 0))
-    cls_flat = cls.reshape(-1)
-    band_cls = np.where((cls == 0).all(-1), 0,
-                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
-    band_cls = band_cls.reshape(-1)
+    mstate, cls_flat, band_cls = BD.mask_state(
+        B, centres, OW, OH, OWP, (16, 16), rows_g, row_ok,
+        chunk=CHUNK, col_halo=True)
 
-
-    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
+    mm_dtype = pol.mm_dtype
+    mm_prec = pol.mm_prec
 
     # The gather one-hots are fully static — build them on the host.
     # v3 layout: every row block is padded to TP (= TH_E rounded up to the
@@ -394,47 +371,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=packed_io, ih=IH, gy=GY,
+                                total=TOTAL)
+        # unpack RGBA8-in-u32 once per band (little-endian: R low byte)
+        chans = BD.band_channels(inbuf, slot, packed_io, 3)
 
-        def dma(slot, bb, ii):
-            if packed_io:
-                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
-                                       IH)]
-            else:
-                src = img.at[bb, :, pl.ds(
-                    pl.multiple_of(oy_ref[ii], row_align), IH)]
-            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
-
-        @pl.when(step == 0)
-        def _():
-            dma(0, b, i).start()
-
-        @pl.when(step + 1 < TOTAL)
-        def _():
-            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
-
-        slot = jax.lax.rem(step, 2)
-        dma(slot, b, i).wait()
-
-        if packed_io:
-            # unpack RGBA8-in-u32 once per band (little-endian: R low byte)
-            raw = inbuf[slot].astype(jnp.int32)     # (IH, WP)
-            chans = [
-                jnp.bitwise_and(raw, 255).astype(jnp.bfloat16),
-                jnp.bitwise_and(
-                    jax.lax.shift_right_logical(raw, 8), 255
-                ).astype(jnp.bfloat16),
-                jnp.bitwise_and(
-                    jax.lax.shift_right_logical(raw, 16), 255
-                ).astype(jnp.bfloat16),
-            ]
-
-            def inp_full(c):  # (IH, WP) integer texels of channel c
-                return chans[c]
-        else:
-            band = inbuf[slot]  # (3, IH, WP) integer texels
-
-            def inp_full(c):
-                return band[c]
+        def inp_full(c):  # (IH, WP) integer texels of channel c
+            return chans[c]
 
         ppy_t = ppy_r[0]          # (TH_E, 1) f32
 
@@ -634,13 +578,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # and the foveation select. Exactly one branch writes out_ref.
         def _store(res):
             if packed_io:
-                # final UNORM store (from_planar semantics: clip, *255, RNE)
-                q8 = jnp.round(jnp.clip(res, F32(0.0), F32(1.0)) * cmax
-                               ).astype(jnp.int32)
-                packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                          + jax.lax.shift_left(q8[2], 16)
-                          + jnp.int32(-16777216))      # alpha 255 << 24
-                out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+                # final UNORM store (from_planar semantics: clip, *255, RNE;
+                # alpha constant 255 — the float4(rgb, 1) UAV store)
+                BD.pack_store_u32(out_ref, res, None, cmax, OW)
             else:
                 out_ref[0] = res[:, :, :OW]
 
@@ -676,12 +616,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             if _SKIP_RCAS:  # profiling only
                 sh = e
             else:
-                d_t = pltpu.roll(e, 1, 2)           # left neighbor
-                f_t = pltpu.roll(e, OWP - 1, 2)     # right neighbor
-                if OWP == OW:
-                    lane = jax.lax.broadcasted_iota(jnp.int32, e.shape, 2)
-                    d_t = jnp.where(lane == 0, F32(0.0), d_t)
-                    f_t = jnp.where(lane == OWP - 1, F32(0.0), f_t)
+                d_t, f_t = BD.htaps_zero_oob(e, OWP, OW)
                 sh = rcas_core(
                     qv[:, 0:TH], d_t, e, f_t, qv[:, 2:2 + TH],
                     sharp_lin, dt=core_dt).astype(jnp.float32)
@@ -746,23 +681,11 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     colmaps = [a.reshape(NCHUNK, 1, CHUNK) for a in (ppx_p, fbx_p)]
     onehots = [jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype)]
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
-               jnp.asarray(band_cls), jnp.asarray(mstate.astype(np.int8))] \
+               jnp.asarray(band_cls), jnp.asarray(mstate)] \
         + onehots + [jnp.asarray(a) for a in rowmaps + colmaps] \
         + [jnp.asarray(dymasks), jnp.asarray(cmasks)]
 
-    def fn(img):
-        if packed_io:
-            if img.shape[1:] == (HP, WP):   # caller pre-padded (fn.pad_to)
-                pass
-            elif HP != H or WP != W:  # pad to the HBM (sublane, lane) tiling
-                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
-        else:
-            img = img.astype(jnp.float32)
-            if img.shape[2:] == (HP, WP):
-                pass
-            elif HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], statics[2], img, *statics[3:])
-
-    fn.pad_to = (HP, WP)   # feed (B, HP, WP) to skip the per-call pad
-    return fn
+    return BD.make_io_fn(
+        lambda img: call(statics[0], statics[1], statics[2], img,
+                         *statics[3:]),
+        H, W, HP, WP, packed_io)
