@@ -85,7 +85,14 @@ class DebugKnobs:
     mm_only: bool = False         # gather matmuls without easu_core
     skip_prologue: bool = False   # skip the band row-gather matmul
     no_derive: bool = False       # force the 4-block matmul prologue
-    no_derive_cols: bool = False  # force the 4-dx-stacked column matmul
+    # Derive the 4 dx column blocks from one extended dx=0 gather (the
+    # column analog of the derived-rows prologue). Bit-exact, but measured
+    # 1.5 ms/pair SLOWER on v5e (tools/ab_fsr.py derive_cols=True: 5.35 vs
+    # 3.85 ms same-process): the column matmul is overhead-bound, not
+    # width-bound, so halving its output lanes saves nothing while the
+    # unaligned lane slices + selects add real VPU work. Kept opt-in for
+    # re-evaluation on chips with different MXU/VPU balance.
+    derive_cols: bool = False
     no_gating: bool = False       # drop pl.when chunk gating
     # Band-class-specialized epilogue (RCAS skipped on fully-outside bands).
     # Measured SLOWER than the straight-line epilogue on v5e (+0.2 ms at
@@ -156,7 +163,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _MM_ONLY = kn.mm_only
     _SKIP_PROLOGUE = kn.skip_prologue
     _NO_DERIVE = kn.no_derive
-    _NO_DERIVE_COLS = kn.no_derive_cols
+    _NO_DERIVE_COLS = not kn.derive_cols
     _NO_GATING = kn.no_gating
     _EPI_SPECIALIZE = kn.epi_specialize
     _FORCE_HIGHEST = kn.force_highest

@@ -28,6 +28,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..core import foveation as fov
 from ..core.constants import NisConfig
 from ..ops import nis as N
+from . import _band as BD
 
 __all__ = ["build_nvsharpen", "build_nvscaler", "NisDebugKnobs"]
 
@@ -43,6 +44,8 @@ class NisDebugKnobs:
     no_inside_fast: bool = False  # route all-inside bands through the
                                   # gated loop (A/B the ungated variant)
     no_derive: bool = False       # force the full 6-block row-gather matmul
+    no_vmem_shrink: bool = False  # profiling: skip the band auto-shrink
+    vmem_limit_mb: int = 100      # profiling: scoped-VMEM limit override
 
 
 F32 = np.float32
@@ -101,26 +104,19 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
     GY = -(-H // TH)
     TOTAL = B * GY
 
-    cmax = F32((1 << color_bits) - 1)
-    inv_cmax = F32(1.0) / cmax
-    # R10G10B10A2: the alpha texel is 2-bit (decode a/3, utils.frames)
-    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
-    exact_bf16 = color_bits <= 8
+    pol = BD.io_policy(color_bits)
+    cmax, inv_cmax, inv_amax = pol.cmax, pol.inv_cmax, pol.inv_amax
+    exact_bf16 = pol.exact_bf16
     tint = (F32(0.7), F32(0.7)) if debug else None
     cfg = nis_cfg
 
-    packed_io = exact_bf16
-    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 8
-    HP = _round_up(H, row_align)
-    WP = _round_up(W, 128)
+    packed_io = pol.packed_io
+    mm_dtype = pol.mm_dtype
+    HP, WP = BD.input_padding(H, W)
 
     rows_e = np.clip(np.arange(GY)[:, None] * TH - 2
                      + np.arange(TH_E)[None, :], 0, H - 1)
-    lo_a = (rows_e[:, 0] // row_align) * row_align
-    IH = min(_round_up(int((rows_e[:, -1] - lo_a + 1).max()), row_align), HP)
-    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+    IH, oy_all = BD.row_windows(rows_e[:, 0], rows_e[:, -1], HP)
 
     rstack = np.zeros((GY, TH_E, IH), np.float32)
     for i in range(GY):
@@ -128,59 +124,22 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
 
     # mask state per band over NIS 32x32 sharpen blocks
     # (NIS_Sharpen.hlsl:93-105): 0 outside, 1 inside, 2 out-of-image
-    centres = np.asarray(centres, np.int64).reshape(B, 5)
+    rows_o = np.clip(np.arange(GY)[:, None] * TH + np.arange(TH)[None, :],
+                     0, H - 1)
     row_ok = ((np.arange(GY)[:, None] * TH + np.arange(TH)[None, :]) < H)
-    mstate = np.zeros((B, GY, TH, WP), np.int8)
-    for bi in range(B):
-        pm = fov.pixel_mask(W, H, fov.TILE_NIS_SHARPEN,
-                            ((centres[bi, 0], centres[bi, 1]),
-                             (centres[bi, 2], centres[bi, 3])),
-                            int(centres[bi, 4]))
-        pm_p = np.zeros((H, WP), bool)
-        pm_p[:, :W] = pm
-        for i in range(GY):
-            st = pm_p[np.clip(np.arange(TH) + i * TH, 0, H - 1)].astype(np.int8)
-            st[~row_ok[i]] = 2
-            st[:, W:] = 2
-            mstate[bi, i] = st
+    mstate, _, _ = BD.mask_state(B, centres, W, H, WP, fov.TILE_NIS_SHARPEN,
+                                 rows_o, row_ok)
 
-    def _mm(a, b):
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
+    _mm, _ = BD.mm_fns(pol)
 
     def kernel(oy_ref, img, mst_r, rst_r, out_ref, inbuf, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
-
-        def dma(slot, bb, ii):
-            if packed_io:
-                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
-                                       IH)]
-            else:
-                src = img.at[bb, :, pl.ds(
-                    pl.multiple_of(oy_ref[ii], row_align), IH)]
-            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
-
-        @pl.when(step == 0)
-        def _():
-            dma(0, b, i).start()
-
-        @pl.when(step + 1 < TOTAL)
-        def _():
-            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
-
-        slot = jax.lax.rem(step, 2)
-        dma(slot, b, i).wait()
-        if packed_io:
-            raw = inbuf[slot].astype(jnp.int32)  # (IH, WP)
-            band = [jnp.bitwise_and(
-                jax.lax.shift_right_logical(raw, 8 * c), 255
-            ).astype(jnp.bfloat16) for c in range(4)]
-        else:
-            band4 = inbuf[slot]                  # (4, IH, WP) integer texels
-            band = [band4[c] for c in range(4)]
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=packed_io, ih=IH, gy=GY,
+                                total=TOTAL)
+        band = BD.band_channels(inbuf, slot, packed_io, 4)
         rsel = rst_r[0]                          # (TH_E, IH)
 
         # row-select the +-2 band (one-hot matmul — integer texels, exact)
@@ -244,14 +203,7 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         alpha_src = dec[3][2:2 + TH][None]
         alpha = jnp.where(m_in, alpha_src, F32(1.0))
         if packed_io:
-            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                      + jax.lax.shift_left(q8[2], 16)
-                      + jax.lax.shift_left(qa, 24))
-            out_ref[0] = packed.astype(jnp.uint32)[:, :W]
+            BD.pack_store_u32(out_ref, rgb, alpha[0], cmax, W)
         else:
             out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :W]
 
@@ -393,7 +345,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     # coefficient temporaries + the band scratches). Calibrated against the
     # measured 121 MB scoped allocation at (band 128, OWP 2304) on v5e
     # (100 MB limit); halve the band until the estimate fits.
-    while band_rows > 16 and \
+    while not kn.no_vmem_shrink and band_rows > 16 and \
             121.0 * (band_rows / 128.0) * (OWP / 2304.0) > 80.0:
         band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
@@ -401,24 +353,21 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     TOTAL = B * GY
     cfg = nis_cfg
 
-    cmax = F32((1 << color_bits) - 1)
-    inv_cmax = F32(1.0) / cmax
-    inv_amax = F32(1.0) / F32((1 << (8 if color_bits == 8 else 2)) - 1)
-    exact_bf16 = color_bits <= 8
+    pol = BD.io_policy(color_bits)
+    cmax, inv_cmax, inv_amax = pol.cmax, pol.inv_cmax, pol.inv_amax
+    exact_bf16 = pol.exact_bf16
     tint = (F32(0.7), F32(0.7)) if debug else None
     import ml_dtypes
     dt = F32 if precision == "full" else ml_dtypes.bfloat16
     cast = (lambda x: x) if dt is F32 else (lambda x: x.astype(jnp.bfloat16))
 
-    packed_io = exact_bf16
+    packed_io = pol.packed_io
     # one-hots and split-luma planes are bf16-exact, but the raw RGB band
     # planes fed to the bilinear-tap gathers are integer texels: exact in
     # bf16 only up to 8 bits. 10-bit texels need f32 operands (+ HIGHEST).
-    mm_dtype = jnp.bfloat16 if exact_bf16 else jnp.float32
-    mm_prec = None if exact_bf16 else jax.lax.Precision.HIGHEST
-    row_align = 8
-    HP = _round_up(H, row_align)
-    WP = _round_up(W, 128)
+    mm_dtype = pol.mm_dtype
+    mm_prec = pol.mm_prec
+    HP, WP = BD.input_padding(H, W)
 
     # ---- static per-axis maps ------------------------------------------------
     pxi, pyi, fx1d, fy1d = nis_source_maps(OW, OH, cfg)
@@ -463,9 +412,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         np.clip(oy0[rows_out[:, -1]] + 1, 0, H - 1),
         np.clip(fy0[rows_out[:, -1]] + 1, 0, H - 1),
         ext_map[:, -1]])
-    lo_a = (ylo // row_align) * row_align
-    IH = min(_round_up(int((yhi - lo_a + 1).max()), row_align), HP)
-    oy_all = np.minimum(lo_a, HP - IH).astype(np.int32)
+    IH, oy_all = BD.row_windows(ylo, yhi, HP)
 
     # ---- per-chunk input column windows ----------------------------------------
     cw0, cKc = [], 0
@@ -598,41 +545,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         colpack[k] = np.stack(cols, 0)[:, None, :]
 
     # ---- mask state over 32x24 scaler blocks (NIS_Upscale.hlsl:95-107) ----------
-    centres = np.asarray(centres, np.int64).reshape(B, 5)
-    cls = np.zeros((B, GY, NCHUNK), np.int32)
-    mstate = np.zeros((B, GY, TH, OWP), np.int8)
     row_ok = (np.arange(GY)[:, None] * TH + np.arange(TH)[None, :]) < OH
-    for bi in range(B):
-        pm = fov.pixel_mask(OW, OH, fov.TILE_NIS_SCALER,
-                            ((centres[bi, 0], centres[bi, 1]),
-                             (centres[bi, 2], centres[bi, 3])),
-                            int(centres[bi, 4]))
-        pm_p = np.zeros((OH, OWP), bool)
-        pm_p[:, :OW] = pm
-        for i in range(GY):
-            st = pm_p[rows_out[i]].astype(np.int8)
-            st[~row_ok[i]] = 2
-            st[:, OW:] = 2
-            mstate[bi, i] = st
-            for k in range(NCHUNK):
-                sub = st[:, k * CHUNK:(k + 1) * CHUNK]
-                ins = sub == 1
-                cls[bi, i, k] = (2 if (ins | (sub == 2)).all()
-                                 else (1 if ins.any() else 0))
-    cls_flat = cls.reshape(-1)
-    band_cls = np.where((cls == 0).all(-1), 0,
-                        np.where((cls == 2).all(-1), 2, 1)).astype(np.int32)
-    band_cls = band_cls.reshape(-1)
+    mstate, cls_flat, band_cls = BD.mask_state(
+        B, centres, OW, OH, OWP, fov.TILE_NIS_SCALER, rows_out, row_ok,
+        chunk=CHUNK)
 
-    def _mm(a, b):
-        return jax.lax.dot_general(
-            a.astype(mm_dtype), b.astype(mm_dtype), (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
-
-    def _mm2(a, b):  # operands already mm_dtype (E scratch / col one-hots)
-        return jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
+    _mm, _mm2 = BD.mm_fns(pol)
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, boh45_r, boh135_r, aoh_r, circ_r,
@@ -641,34 +559,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
-
-        def dma(slot, bb, ii):
-            if packed_io:
-                src = img.at[bb, pl.ds(pl.multiple_of(oy_ref[ii], row_align),
-                                       IH)]
-            else:
-                src = img.at[bb, :, pl.ds(
-                    pl.multiple_of(oy_ref[ii], row_align), IH)]
-            return pltpu.make_async_copy(src, inbuf.at[slot], sems.at[slot])
-
-        @pl.when(step == 0)
-        def _():
-            dma(0, b, i).start()
-
-        @pl.when(step + 1 < TOTAL)
-        def _():
-            dma((step + 1) % 2, (step + 1) // GY, (step + 1) % GY).start()
-
-        slot = jax.lax.rem(step, 2)
-        dma(slot, b, i).wait()
-        if packed_io:
-            raw = inbuf[slot].astype(jnp.int32)  # (IH, WP)
-            band = [jnp.bitwise_and(
-                jax.lax.shift_right_logical(raw, 8 * c), 255
-            ).astype(jnp.bfloat16) for c in range(4)]
-        else:
-            band4 = inbuf[slot]                  # (4, IH, WP) integer texels
-            band = [band4[c] for c in range(4)]
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=packed_io, ih=IH, gy=GY,
+                                total=TOTAL)
+        band = BD.band_channels(inbuf, slot, packed_io, 4)
 
         rp = rowp_r[0]                           # (18, TH, 1)
         fy, fy64 = rp[0], rp[1]
@@ -963,14 +857,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         rgb = jnp.where(m_in, s_nis[:3], fbv)
         alpha = jnp.where(m_in, s_nis[3:4], F32(1.0))
         if packed_io:
-            q8 = jnp.round(jnp.clip(rgb, F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            qa = jnp.round(jnp.clip(alpha[0], F32(0.0), F32(1.0)) * cmax
-                           ).astype(jnp.int32)
-            packed = (q8[0] + jax.lax.shift_left(q8[1], 8)
-                      + jax.lax.shift_left(q8[2], 16)
-                      + jax.lax.shift_left(qa, 24))
-            out_ref[0] = packed.astype(jnp.uint32)[:, :OW]
+            BD.pack_store_u32(out_ref, rgb, alpha[0], cmax, OW)
         else:
             out_ref[0] = jnp.concatenate([rgb, alpha], axis=0)[:, :, :OW]
 
@@ -1010,7 +897,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                    if packed_io else
                    jax.ShapeDtypeStruct((B, 4, OH, OW), jnp.float32)),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=kn.vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )
 
@@ -1022,15 +909,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                jnp.asarray(rowpack), jnp.asarray(colpack),
                jnp.asarray(dymasks)]
 
-    def fn(img):
-        if packed_io:
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, HP - H), (0, WP - W)))
-        else:
-            img = img.astype(jnp.float32)
-            if HP != H or WP != W:
-                img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, WP - W)))
-        return call(statics[0], statics[1], statics[2], img,
-                    *statics[3:])
-
-    return fn
+    return BD.make_io_fn(
+        lambda img: call(statics[0], statics[1], statics[2], img,
+                         *statics[3:]),
+        H, W, HP, WP, packed_io)

@@ -586,8 +586,66 @@ def main_launch():
 
 
 
+# ===== calibrate =============================================================
+# Raw device rates of the tunneled chip — the speed-of-light yardstick every
+# kernel time must be read against. Round-3 finding: the "TPU v5 lite"
+# behind the axon tunnel sustains ~35-40 GB/s per direction (~75 GB/s
+# copy r+w) and ~66 bf16 TFLOP/s — far below v5e datasheet numbers
+# (819 GB/s, 197 TFLOP/s). The fused kernel's 1.1 ms DMA+store floor at
+# the headline config is exactly 70 MB of HBM traffic at these rates.
+
+def main_calibrate():
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.integers(0, 2**32, (2, 2560, 2304), dtype=np.uint32))  # 47 MB
+    nbytes = x.size * 4
+
+    def timeit(fn, n=30, rounds=4):
+        y = fn(x)
+        jax.block_until_ready(y)
+        _ = np.asarray(jnp.ravel(y)[0])
+        ts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = fn(x)
+            _ = np.asarray(jnp.ravel(y)[0])
+            ts.append((time.perf_counter() - t0) / n * 1000.0)
+        return min(ts)
+
+    copy = jax.jit(lambda a: a + jnp.uint32(1))
+    red = jax.jit(lambda a: jnp.sum(a, axis=(1, 2)))
+    fill = jax.jit(lambda a: jnp.full(x.shape, a[0, 0, 0]))
+    t = timeit(copy)
+    print(f"copy(+1) 47MB : {t:7.3f} ms = {nbytes*2/1e9/(t/1e3):4.0f} GB/s r+w")
+    t = timeit(red)
+    print(f"read-reduce   : {t:7.3f} ms = {nbytes/1e9/(t/1e3):4.0f} GB/s read")
+    t = timeit(fill)
+    print(f"fill          : {t:7.3f} ms = {nbytes/1e9/(t/1e3):4.0f} GB/s write")
+
+    for dt, tag in (("bfloat16", "bf16"), (np.float32, "f32 ")):
+        a = jax.device_put(rng.standard_normal((4096, 4096)).astype(dt))
+        mm = jax.jit(lambda a: a @ a)
+        y = mm(a)
+        jax.block_until_ready(y)
+        _ = np.asarray(y[0, 0])
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            for _ in range(20):
+                y = mm(a)
+            _ = np.asarray(y[0, 0])
+            ts.append((time.perf_counter() - t0) / 20 * 1000.0)
+        t = min(ts)
+        print(f"{tag} 4096^3 mm: {t:7.3f} ms = "
+              f"{2*4096**3/1e12/(t/1e3):4.0f} TFLOP/s")
+
+
 MAINS = {"infra": main_infra, "v3": main_v3, "lanes": main_lanes,
-         "launch": main_launch}
+         "launch": main_launch, "calibrate": main_calibrate}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MAINS:
