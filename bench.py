@@ -85,11 +85,46 @@ def main():
           f"({out_mpix / (per_pair_ms / 1000.0):.0f} Mpix/s, "
           f"{1000.0 / per_pair_ms:.0f} pairs/s)", file=sys.stderr)
 
+    # Device-calibration yardstick (tools/microbench.py calibrate): the
+    # tunneled chip's sustained HBM rates swing ~35% between sessions and
+    # sit far below v5e datasheet (measured ~35-40 GB/s/direction vs 819).
+    # sol_ms = this session's memory speed-of-light for the kernel's HBM
+    # traffic (26.8 MB packed read + 44.7 MB packed write); vs_sol says how
+    # close the kernel runs to that bound, independent of session drift.
+    def cal(fn, buf, n=20):
+        y = fn(buf)
+        _ = np.asarray(jnp.ravel(y)[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = fn(buf)
+            _ = np.asarray(jnp.ravel(y)[0])
+            ts.append((time.perf_counter() - t0) / n)
+        return min(ts)
+
+    in_bytes = float(inputs[0].size * 4)
+    out_buf = jnp.zeros((2, 2492, 2244), jnp.uint32)
+    out_bytes = float(out_buf.size * 4)
+    read_bw = in_bytes / cal(jax.jit(lambda a: jnp.sum(a, axis=(1, 2))),
+                             inputs[0])
+    write_bw = out_bytes / cal(
+        jax.jit(lambda a: jnp.full((2, 2492, 2244), a[0, 0, 0])), out_buf)
+    sol_ms = (in_bytes / read_bw + out_bytes / write_bw) * 1000.0
+    print(f"[bench] calibration: read {read_bw/1e9:.0f} GB/s, "
+          f"write {write_bw/1e9:.0f} GB/s, sol {sol_ms:.3f} ms "
+          f"(kernel at {sol_ms/per_pair_ms*100:.0f}% of memory SOL)",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "fsr_stereo_eyepair_2244x2492_rs075_ms",
         "value": round(per_pair_ms, 4),
         "unit": "ms",
         "vs_baseline": round(1.0 / per_pair_ms, 4),
+        "device_read_gbps": round(read_bw / 1e9, 1),
+        "device_write_gbps": round(write_bw / 1e9, 1),
+        "hbm_sol_ms": round(sol_ms, 4),
+        "vs_sol": round(sol_ms / per_pair_ms, 4),
     }))
 
 

@@ -100,6 +100,14 @@ class DebugKnobs:
     # duplication cost more than the skipped RCAS work. Kept for
     # re-evaluation on other chips.
     epi_specialize: bool = False
+    # Chunk-gated RCAS epilogue: quantized stage 1 lands in a zero-margined
+    # band scratch and RCAS runs per 128-column chunk behind pl.when
+    # (skipped where the chunk is fully outside the circle) — the chunk
+    # analog of the reference's whole-workgroup sharpen branch. Bit-equal,
+    # but a measured LOSS at radius 0.5 (+0.28 ms/pair same-process: the
+    # extra band scratch round-trip exceeds the skipped RCAS work, which
+    # is only ~0.3 ms for the whole band after the lane-rotate taps).
+    epi_chunk_gate: bool = False
 
 
 def _round_up(x, m):
@@ -166,6 +174,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _NO_DERIVE_COLS = not kn.derive_cols
     _NO_GATING = kn.no_gating
     _EPI_SPECIALIZE = kn.epi_specialize
+    _EPI_CHUNK_GATE = kn.epi_chunk_gate
     _FORCE_HIGHEST = kn.force_highest
 
     B = int(batch)
@@ -374,7 +383,11 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,
-               cmk_r, out_ref, inbuf, g_rows, s_easu, s_bilx, sems):
+               cmk_r, out_ref, inbuf, g_rows, s_easu, s_bilx, *extra):
+        if _EPI_CHUNK_GATE:
+            s_q, sems = extra
+        else:
+            (sems,) = extra
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -636,7 +649,53 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 fb = e
             _store(jnp.where(m_in, sh, fb))
 
-        if _NO_GATING or not _EPI_SPECIALIZE:
+        def _epilogue_chunk_gated():
+            # Quantized stage 1 lands in a zero-margined band scratch; RCAS
+            # then runs per chunk behind pl.when — fully-outside chunks
+            # write the passthrough only (the chunk analog of the
+            # reference's whole-workgroup sharpen branch, fsr_rcas.hlsl:44).
+            # The 128-lane zero margins give the Load() zero-OOB rule to
+            # every static neighbor slice with no edge cases.
+            ms = mst_r[0, 0].astype(jnp.int32)
+            bil = (s_bilx[:, :TH_E] * (one - fby_r[0])
+                   + s_bilx[:, TH_E:] * fby_r[0])
+            stage1 = jnp.where((ms == 1)[None], s_easu[:], bil)
+            q = jnp.round(jnp.clip(stage1, F32(0.0), F32(1.0)) * cmax)
+            qv = jnp.where((ms != 2)[None], q, F32(0.0)) * inv_cmax
+            s_q[:, :, :128] = jnp.zeros((3, TH_E, 128), jnp.float32)
+            s_q[:, :, 128 + OWP:] = jnp.zeros((3, TH_E, 128), jnp.float32)
+            s_q[:, :, 128:128 + OWP] = qv
+            m_in_all = ms == 1
+            for k in range(NCHUNK):
+                c0 = k * CHUNK
+                sl = slice(128 + c0, 128 + c0 + CHUNK)
+                e_k = s_q[:, 1:1 + TH, sl]
+                if tint is not None:
+                    fb_k = jnp.stack(
+                        [e_k[0], e_k[1] * tint[0], e_k[2] * tint[1]], 0)
+                else:
+                    fb_k = e_k
+
+                def _with_rcas(k=k, c0=c0, sl=sl, e_k=e_k, fb_k=fb_k):
+                    d_t = s_q[:, 1:1 + TH, 128 + c0 - 1:128 + c0 - 1 + CHUNK]
+                    f_t = s_q[:, 1:1 + TH, 128 + c0 + 1:128 + c0 + 1 + CHUNK]
+                    sh = rcas_core(s_q[:, 0:TH, sl], d_t, e_k, f_t,
+                                   s_q[:, 2:2 + TH, sl], sharp_lin,
+                                   dt=core_dt).astype(jnp.float32)
+                    m_k = m_in_all[1:1 + TH, c0:c0 + CHUNK][None]
+                    s_bilx[:, :TH, c0:c0 + CHUNK] = jnp.where(m_k, sh, fb_k)
+
+                def _without(c0=c0, fb_k=fb_k):
+                    s_bilx[:, :TH, c0:c0 + CHUNK] = fb_k
+
+                tcls = cls_ref[step * NCHUNK + k]
+                pl.when(tcls > 0)(_with_rcas)
+                pl.when(tcls == 0)(_without)
+            _store(s_bilx[:, :TH])
+
+        if _EPI_CHUNK_GATE and not _NO_GATING:
+            _epilogue_chunk_gated()
+        elif _NO_GATING or not _EPI_SPECIALIZE:
             _epilogue("both")
         else:
             bcls2 = bcls_ref[step]
@@ -669,6 +728,8 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             pltpu.VMEM((3 * N_ROW, WP), mm_dtype),        # row-gathered G
             pltpu.VMEM((3, TH_E, OWP), jnp.float32),      # EASU band
             pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32),  # bilinear x-lerped
+        ] + ([pltpu.VMEM((3, TH_E, OWP + 256), jnp.float32)]
+             if kn.epi_chunk_gate else []) + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )

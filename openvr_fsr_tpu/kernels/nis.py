@@ -43,7 +43,6 @@ class NisDebugKnobs:
     skip_stage1: bool = False     # skip the scaler/fallback chunk loop
     no_inside_fast: bool = False  # route all-inside bands through the
                                   # gated loop (A/B the ungated variant)
-    no_derive: bool = False       # force the full 6-block row-gather matmul
     no_vmem_shrink: bool = False  # profiling: skip the band auto-shrink
     vmem_limit_mb: int = 100      # profiling: scoped-VMEM limit override
 
@@ -330,7 +329,6 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                            nis_source_maps)
     from ..ops.bilinear import bilinear_axis_maps
     from ..ops.common import hlsl_lerp
-    from ._derive import derive_plan
 
     kn = knobs or NisDebugKnobs()
     _SKIP_STAGE1 = kn.skip_stage1
@@ -342,11 +340,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     OWP = NCHUNK * CHUNK
     # VMEM auto-shrink (mirrors kernels/fsr.py): the kernel's scoped-VMEM
     # stack scales ~linearly with band_rows x padded width (per-chunk luma/
-    # coefficient temporaries + the band scratches). Calibrated against the
-    # measured 121 MB scoped allocation at (band 128, OWP 2304) on v5e
-    # (100 MB limit); halve the band until the estimate fits.
+    # coefficient temporaries + the band scratches). The flagship geometry
+    # (band 128, OWP 2304) is measured to fit the 100 MB limit; wider
+    # outputs (the 8K stretch aspect) halve the band until the linear
+    # estimate fits.
     while not kn.no_vmem_shrink and band_rows > 16 and \
-            121.0 * (band_rows / 128.0) * (OWP / 2304.0) > 80.0:
+            70.0 * (band_rows / 128.0) * (OWP / 2304.0) > 80.0:
         band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
     GY = -(-OH // TH)
@@ -395,23 +394,14 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     # ---- per-band input row windows -------------------------------------------
     rows_out = np.clip(np.arange(GY)[:, None] * TH + np.arange(TH)[None, :],
                        0, OH - 1)
-    # extended output-row window for the derived-rows prologue (see
-    # kernels/_derive.py): ext rows [i*TH - 4, i*TH + TH + 6)
-    EXT_LO = 4
-    EXT = TH + 10
-    rows_ext = np.clip(np.arange(GY)[:, None] * TH - EXT_LO
-                       + np.arange(EXT)[None, :], 0, OH - 1)
-    ext_map = np.clip(pyi[rows_ext], 0, H - 1)          # (GY, EXT)
     ylo = np.minimum.reduce([
         np.clip(pyi[rows_out[:, 0]] - 2, 0, H - 1),
         np.clip(oy0[rows_out[:, 0]], 0, H - 1),
-        np.clip(fy0[rows_out[:, 0]], 0, H - 1),
-        ext_map[:, 0]])
+        np.clip(fy0[rows_out[:, 0]], 0, H - 1)])
     yhi = np.maximum.reduce([
         np.clip(pyi[rows_out[:, -1]] + 3, 0, H - 1),
         np.clip(oy0[rows_out[:, -1]] + 1, 0, H - 1),
-        np.clip(fy0[rows_out[:, -1]] + 1, 0, H - 1),
-        ext_map[:, -1]])
+        np.clip(fy0[rows_out[:, -1]] + 1, 0, H - 1)])
     IH, oy_all = BD.row_windows(ylo, yhi, HP)
 
     # ---- per-chunk input column windows ----------------------------------------
@@ -429,9 +419,9 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     KC = min(cKc, W)
     cw0 = [min(w0, W - KC) for w0 in cw0]
 
-    # ---- row blocks: derived from ONE extended gather -------------------------
-    # 12 row-tap blocks: [dy=-2..3 (6 blocks), eA=clip(clip(p)+1),
-    # eB=clip(clip(p+1)-1), y0op, y1op, y0fb, y1fb].
+    # ---- one-hot gather stacks ------------------------------------------------
+    # rows: [dy=-2..3 (6 blocks), eA=clip(clip(p)+1), eB=clip(clip(p+1)-1),
+    #        y0op, y1op, y0fb, y1fb] -> (GY, 12*TH, IH)
     #
     # eA/eB are the edge-map clamp-composition blocks: the reference
     # evaluates the edge map inside an edge-clamped shared-memory tile
@@ -441,45 +431,25 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     # (eB vs dy=0). With these two blocks (and the column analogs) the
     # kernel is exact at texture borders with no XLA patching.
     #
-    # v2 (derived rows, see kernels/_derive.py): pyi is monotone with steps
-    # <= 1 inside the NIS validity window (upscale only, NIS_Config.h:226),
-    # so every block is two static sublane slices + one per-row select of
-    # the single extended gather E[j] = X[ext_map[j]] — the row-gather
-    # matmul shrinks from 12*TH to ~TH+10 rows per channel plane, and the
-    # gathers move to ONE matmul per RGBA channel per band (the luma is
-    # computed after the integer gather instead of being 3-way-bf16-split
-    # gathered). Downscale configs fall back to the direct 12-block gather.
-    r = rows_out
-    row_targets = [np.clip(pyi[r] + dy, 0, H - 1) for dy in _NIS_DYS]
-    row_targets += [np.clip(np.clip(pyi[r], 0, H - 1) + 1, 0, H - 1),
-                    np.clip(np.clip(pyi[r] + 1, 0, H - 1) - 1, 0, H - 1)]
-    row_targets += [np.clip(oy0[r], 0, H - 1),
-                    np.clip(oy0[r] + 1, 0, H - 1),
-                    np.clip(fy0[r], 0, H - 1),
-                    np.clip(fy0[r] + 1, 0, H - 1)]
-    if kn.no_derive:
-        derive_ok, row_offs, dymasks = False, None, None
-    else:
-        derive_ok, row_offs, dymasks = derive_plan(ext_map, row_targets)
-    if not derive_ok:
-        dymasks = np.zeros((GY, 12, TH, 1), np.float32)
-        row_offs = [(0, 0)] * 12
-
+    # (A round-3 experiment derived all 12 blocks from one extended gather
+    # per RGBA channel, kernels/_derive.py — bit-equal but a measured ~2
+    # ms/pair LOSS on v5e: moving the luma computation after the gather
+    # multiplies the VPU getY work by the tap count, and the stacked
+    # per-channel chunk matmuls outweigh the smaller row-gather. The
+    # 3-split luma structure below is the measured-faster design.)
     def _row_oh(rows, band):
         loc = np.clip(rows, 0, H - 1) - oy_all[band]
         return loc[:, None] == np.arange(IH)[None, :]
 
-    if derive_ok:
-        N_RROW = _round_up(EXT, 8)
-        rstack = np.zeros((GY, N_RROW, IH), np.float32)
-        for i in range(GY):
-            rstack[i, :EXT] = _row_oh(ext_map[i], i)
-    else:
-        N_RROW = 12 * TH
-        rstack = np.zeros((GY, N_RROW, IH), np.float32)
-        for i in range(GY):
-            rstack[i] = np.concatenate(
-                [_row_oh(tg[i], i) for tg in row_targets], axis=0)
+    rstack = np.zeros((GY, 12 * TH, IH), np.float32)
+    for i in range(GY):
+        r = rows_out[i]
+        blocks = [_row_oh(pyi[r] + dy, i) for dy in _NIS_DYS]
+        blocks += [_row_oh(np.clip(pyi[r], 0, H - 1) + 1, i),
+                   _row_oh(np.clip(pyi[r] + 1, 0, H - 1) - 1, i)]
+        blocks += [_row_oh(oy0[r], i), _row_oh(oy0[r] + 1, i),
+                   _row_oh(fy0[r], i), _row_oh(fy0[r] + 1, i)]
+        rstack[i] = np.concatenate(blocks, axis=0)
 
     sstack = np.zeros((NCHUNK, KC, 12 * CHUNK), np.float32)
     for k in range(NCHUNK):
@@ -550,12 +520,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         B, centres, OW, OH, OWP, fov.TILE_NIS_SCALER, rows_out, row_ok,
         chunk=CHUNK)
 
-    _mm, _mm2 = BD.mm_fns(pol)
+    _mm, _ = BD.mm_fns(pol)
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, boh45_r, boh135_r, aoh_r, circ_r,
-               rowp_r, colp_r, dym_r, out_ref, inbuf, e_rows, s_nis, s_fb,
-               sems):
+               rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -563,6 +532,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                                 packed_io=packed_io, ih=IH, gy=GY,
                                 total=TOTAL)
         band = BD.band_channels(inbuf, slot, packed_io, 4)
+
+        r_taps = rst_r[0][:8 * TH]      # 6 dy blocks + eA + eB (edge rows)
+        r_op = rst_r[0][8 * TH:10 * TH]
+        r_fb = rst_r[0][10 * TH:]
 
         rp = rowp_r[0]                           # (18, TH, 1)
         fy, fy64 = rp[0], rp[1]
@@ -575,40 +548,13 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         one = F32(1.0)
         n255 = F32(255.0)
 
-        # ---- band prologue: ONE row-gather matmul per RGBA channel ----------
-        # (v2) every row-tap block is derived from this single extended
-        # gather (kernels/_derive.py); the 3-split luma gathers, the op
-        # bilinear row gathers and the fallback row gathers of v1 are gone —
-        # luma is computed from the gathered integer texels instead.
-        r_sel = rst_r[0]                      # (N_RROW, IH)
-        for c in range(4):
-            e_rows[c * N_RROW:(c + 1) * N_RROW] = _mm(
-                r_sel, band[c]).astype(e_rows.dtype)
-
-        dymm = dym_r[0]                       # (12, TH, 1)
-
-        def rowblk(x, bi_):
-            """Row block bi_'s (TH, cols) slice of an ext-rows array."""
-            if derive_ok:
-                o1, o2 = row_offs[bi_]
-                if o1 == o2:
-                    return x[o1:o1 + TH]
-                return jnp.where(dymm[bi_] > F32(0.5),
-                                 x[o1:o1 + TH], x[o2:o2 + TH])
-            return x[bi_ * TH:(bi_ + 1) * TH]
-
-        def e_chunk(c, w0, scol):
-            return _mm2(e_rows[c * N_RROW:(c + 1) * N_RROW, w0:w0 + KC],
-                        scol)
-
         def _fb_chunk(k, c0, w0, ffx_c):
-            scol = sst_r[k][:, 10 * CHUNK:]
             for c in range(3):
-                t = e_chunk(c, w0, scol)          # (N_RROW, 2*CHUNK)
-                x0 = t[:, :CHUNK] * inv_cmax
-                x1 = t[:, CHUNK:] * inv_cmax
-                top = rowblk(x0, 10) * (one - ffx_c) + rowblk(x1, 10) * ffx_c
-                bot = rowblk(x0, 11) * (one - ffx_c) + rowblk(x1, 11) * ffx_c
+                gb = _mm(r_fb, band[c][:, w0:w0 + KC])
+                t0 = _mm(gb, sst_r[k][:, 10 * CHUNK:11 * CHUNK]) * inv_cmax
+                t1 = _mm(gb, sst_r[k][:, 11 * CHUNK:]) * inv_cmax
+                top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
+                bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
                 s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
 
         def _loop_mixed(gated=True):
@@ -617,6 +563,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             # W[j] = Boh @ Circ_j — skipped entirely for fully-outside bands.
             # gated=False is the fully-inside band variant: the per-chunk
             # pl.when pairs (2 scheduling barriers each) disappear
+            y01b = _get_y(band[0].astype(jnp.float32) * inv_cmax,
+                          band[1].astype(jnp.float32) * inv_cmax,
+                          band[2].astype(jnp.float32) * inv_cmax,
+                          cfg.hdr_mode)
+            ysp = _split3(y01b)
             w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
                                    for j in range(NCIRC)], axis=0)
             w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
@@ -634,28 +585,24 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     lox = cp[15] > F32(0.5)
                     ofx_c = cp[16]
 
-                    # ---- 6x6 luma taps from the gathered RGB ------------------
-                    # ONE stacked column matmul per channel yields every tap
-                    # column block at once: [6 dx, eA', eB', x0op, x1op];
-                    # luma is getY of the decoded gathered texels (identical
-                    # f32 op order to the oracle's gather-of-luma). Row
-                    # blocks (6 dy + the eA/eB edge rows) are derived
-                    # slices+selects of the extended rows.
-                    scol = sst_r[k][:, :10 * CHUNK]
-                    t4 = [e_chunk(c, w0, scol) for c in range(4)]
-                    y_ext = _get_y(t4[0][:, :8 * CHUNK] * inv_cmax,
-                                   t4[1][:, :8 * CHUNK] * inv_cmax,
-                                   t4[2][:, :8 * CHUNK] * inv_cmax,
-                                   cfg.hdr_mode)
+                    sall = sst_r[k]
+                    # ---- 6x6 luma taps (3 exact bf16 splits) -------------------
+                    # g rows: 6 dy tap blocks + the eA/eB edge rows (indices
+                    # 6, 7); col blocks 6, 7 are the eA'/eB' edge columns.
+                    # Edge-only taps are materialized just for the (row, col)
+                    # pairs the 4 corner 3x3 neighborhoods read.
+                    g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
                     p01 = {}
                     for dxk in range(8):
-                        y_k = y_ext[:, dxk * CHUNK:(dxk + 1) * CHUNK]
+                        scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
+                        t = [_mm(gs, scol) for gs in g]
                         if dxk < 6:
                             dyks = range(6) if dxk in (0, 5) else range(8)
                         else:          # eA'/eB' columns: edge-map rows only
                             dyks = (1, 2, 3, 4, 6, 7)
                         for dyk in dyks:
-                            p01[dyk, dxk] = rowblk(y_k, dyk)
+                            sl = slice(dyk * TH, (dyk + 1) * TH)
+                            p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
                     p = {k2: cast(v * n255) for k2, v in p01.items()
                          if k2[0] < 6 and k2[1] < 6}
 
@@ -793,13 +740,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     op = []
                     for c in range(4):
                         sc = inv_cmax if c < 3 else inv_amax
-                        x0 = t4[c][:, 8 * CHUNK:9 * CHUNK] * sc
-                        x1 = t4[c][:, 9 * CHUNK:10 * CHUNK] * sc
+                        gb = _mm(r_op, band[c][:, w0:w0 + KC])
+                        t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * sc
+                        t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * sc
                         # bilinear_sample_jax form: c00*(1-fx) + c10*fx
-                        top = (rowblk(x0, 8) * (one - ofx_c)
-                               + rowblk(x1, 8) * ofx_c)
-                        bot = (rowblk(x0, 9) * (one - ofx_c)
-                               + rowblk(x1, 9) * ofx_c)
+                        top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
+                        bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
                         op.append(top * (one - ofy_t) + bot * ofy_t)
                     if cfg.hdr_mode == 1:  # multiplicative (NIS_Scaler.h:749-756)
                         k_eps = F32(1e-4)
@@ -867,7 +813,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, N_RROW, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 12 * TH, IH), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, KC, 12 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
@@ -875,7 +821,6 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             pl.BlockSpec((NCIRC, 64, 64), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, 18, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((NCHUNK, 18, 1, CHUNK), lambda b, i, *_: (0, 0, 0, 0)),
-            pl.BlockSpec((1, 12, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
                    if packed_io else
@@ -883,7 +828,6 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         scratch_shapes=[
             (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
              else pltpu.VMEM((2, 4, IH, WP), jnp.float32)),
-            pltpu.VMEM((4 * N_RROW, WP), mm_dtype),
             pltpu.VMEM((4, TH, OWP), jnp.float32),
             pltpu.VMEM((3, TH, OWP), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -906,8 +850,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype),
                jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype),
                jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype),
-               jnp.asarray(rowpack), jnp.asarray(colpack),
-               jnp.asarray(dymasks)]
+               jnp.asarray(rowpack), jnp.asarray(colpack)]
 
     return BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,

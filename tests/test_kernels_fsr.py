@@ -105,35 +105,27 @@ class TestFusedFsrKernel:
                              debug=True)
         _assert_close(got, ref)
 
-    def test_nvscaler_no_derive_fallback_matches(self):
-        """The direct 12-block row-gather fallback (taken when the
-        derived-rows structure fails, e.g. downscale configs outside the
-        NIS validity window) must match the derived fast path.
-
-        Tolerance 1 LSB, not bitwise: on x86 the two programs are compiled
-        separately and XLA:CPU FMA-contracts the bilinear lerps differently
-        depending on surrounding fusion (bit-bisected: every tap entering
-        the lerp is bitwise identical across modes; only the contracted
-        a*b+c results differ). The TPU VPU does not contract (measured by
-        tools/numerics_probe.py), so on the real chip the modes agree
-        bitwise — asserted there by the PARITY artifacts."""
+    def test_nvscaler_wide_band_autoshrink_matches(self):
+        """Wide outputs trip the NVScaler VMEM band auto-shrink; the shrunk
+        band must produce the same image as an explicit small band (and the
+        shrink path must build without the knobs escape hatch)."""
         from openvr_fsr_tpu.kernels.nis import build_nvscaler, NisDebugKnobs
         from openvr_fsr_tpu.core import constants as C
 
-        h, w, oh, ow = 54, 66, 72, 88
+        h, w, oh, ow = 24, 2880, 32, 3840        # 8K-aspect width, short frame
         fc = C.foveation_constants(ow, oh, 2.0, (0.5, 0.5), (0.5, 0.5), False)
         centres = np.asarray(
             [[*fc.centre_left, *fc.centre_right, fc.radius_sq]], np.int64)
         nis_cfg = C.nvscaler_update_config(0.7, w, h, w, h, ow, oh, ow, oh)
         rng = np.random.default_rng(5)
         img = rng.integers(0, 2**32, (1, h, w), dtype=np.uint32)
-        outs = []
-        for kn in (NisDebugKnobs(), NisDebugKnobs(no_derive=True)):
-            fn = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
-                                centres=centres, interpret=True, knobs=kn)
-            outs.append(np.asarray(fn(img)).view(np.uint8))
-        diff = np.abs(outs[0].astype(np.int16) - outs[1].astype(np.int16))
-        assert diff.max() <= 1, diff.max()
+        auto = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                              centres=centres, interpret=True)
+        manual = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                                centres=centres, interpret=True, band_rows=16,
+                                knobs=NisDebugKnobs(no_vmem_shrink=True))
+        a, b = np.asarray(auto(img)), np.asarray(manual(img))
+        assert np.array_equal(a, b)
 
     def test_half_precision_mode(self):
         """precision='half' = bf16 math (FsrEasuH/FsrRcasHx2 analog,

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""All-paths benchmark — one BENCH-style JSON line per pipeline mode.
+
+bench.py measures only the flagship fused-FSR config; this tool measures
+every compute path the framework ships (the reference's mode truth table,
+PostProcessor.cpp:530-535, 586-594) at the headline geometry and writes
+`BENCH_PATHS_r03.json` so perf claims for the non-flagship paths live in an
+artifact rather than README prose (round-2 verdict items 3/4/7):
+
+  fsr_fused    EASU+RCAS,  1683x1869 -> 2244x2492 (rs 0.75)
+  rcas_only    rs = 1 sharpen-only at 2244x2492
+  nvscaler     NIS upscale, same geometry as fsr_fused
+  nvsharpen    NIS rs = 1 sharpen-only at 2244x2492
+  cas_upscale  CAS sharpen-and-upscale, same geometry as fsr_fused
+  cas_sharpen  CAS rs = 1 sharpen-only at 2244x2492
+
+All paths run the zero-copy packed-u32 serving input (pre-padded ring
+frames, see bench.py's rationale) with sharpness 0.9 and foveated radius
+0.5. Methodology matches bench.py: N back-to-back launches over rotating
+buffers, completion forced by a host transfer of a reduction, min of three
+medians. NVScaler's full-size compile takes minutes on the tunnel — use
+`--paths` to measure a subset.
+
+  python tools/bench_paths.py [--paths fsr_fused,nvscaler] [--out FILE]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+PATHS = {
+    # name: (config kwargs, input (w, h))
+    "fsr_fused": (dict(render_scale=0.75), (1683, 1869)),
+    "rcas_only": (dict(render_scale=1.0), (2244, 2492)),
+    "nvscaler": (dict(render_scale=0.75, use_nis=True), (1683, 1869)),
+    "nvsharpen": (dict(render_scale=1.0, use_nis=True), (2244, 2492)),
+    "cas_upscale": (dict(render_scale=0.75, use_cas=True), (1683, 1869)),
+    "cas_sharpen": (dict(render_scale=1.0, use_cas=True), (2244, 2492)),
+}
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--paths", default=",".join(PATHS),
+                    help="comma-separated subset of: " + ", ".join(PATHS))
+    ap.add_argument("--out", default=str(
+        Path(__file__).resolve().parent.parent / "BENCH_PATHS_r03.json"))
+    ap.add_argument("--iters", type=int, default=30)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from openvr_fsr_tpu import Config, Pipeline
+    from openvr_fsr_tpu.utils import frames as FR
+
+    rng = np.random.default_rng(0)
+
+    def ring_frame(stereo_u8, h, w):
+        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+        packed = np.ascontiguousarray(stereo_u8).view(np.uint32)[..., 0]
+        return jax.device_put(np.pad(
+            packed, ((0, 0), (0, hp - h), (0, wp - w))))
+
+    results = {}
+    for name in args.paths.split(","):
+        cfg_kw, (w, h) = PATHS[name]
+        pipe = Pipeline(Config(enabled=True, sharpness=0.9, radius=0.5,
+                               **cfg_kw))
+        ow, oh = pipe.output_size(w, h)
+        inputs = [
+            ring_frame(np.stack([FR.zone_plate_frame(h, w),
+                                 FR.noise_frame(h, w, seed=1)]), h, w),
+            ring_frame(rng.integers(0, 256, (2, h, w, 4)).astype(np.uint8),
+                       h, w),
+        ]
+        t0 = time.time()
+        fn = pipe._build(2, h, w, (0, 1))
+        y = fn(inputs[0])
+        _ = np.asarray(y[0, 0, 0])
+        compile_s = time.time() - t0
+
+        def run(iters):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                out = fn(inputs[i % len(inputs)])
+            _ = np.asarray(jnp.sum(out[:, ::373, ::373]))
+            return (time.perf_counter() - t0) / iters * 1000.0
+
+        run(5)
+        ms = min(run(args.iters) for _ in range(3))
+        mpix = 2 * ow * oh / 1e6
+        results[name] = {
+            "metric": f"{name}_stereo_{ow}x{oh}_ms",
+            "value": round(ms, 4),
+            "unit": "ms",
+            "mpix_per_s": round(mpix / (ms / 1000.0), 1),
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"[bench_paths] {name}: {ms:.3f} ms/pair "
+              f"({results[name]['mpix_per_s']:.0f} Mpix/s, "
+              f"compile {compile_s:.0f}s)", file=sys.stderr, flush=True)
+
+    existing = {}
+    out_path = Path(args.out)
+    if out_path.exists():
+        existing = json.loads(out_path.read_text())
+    existing.update(results)
+    existing["_meta"] = {
+        "config": "stereo pair, sharpness 0.9, radius 0.5, packed-u32 "
+                  "serving input",
+        "note": "absolute times are for the axon dev tunnel chip; read "
+                "against tools/microbench.py calibrate (~35-40 GB/s HBM "
+                "per direction, far below v5e datasheet)",
+    }
+    out_path.write_text(json.dumps(existing, indent=1) + "\n")
+    print(json.dumps({k: v["value"] for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
