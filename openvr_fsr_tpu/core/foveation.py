@@ -18,11 +18,26 @@ Tile geometry per stage:
 
 import numpy as np
 
-__all__ = ["tile_mask", "pixel_mask", "TILE_FSR", "TILE_NIS_SCALER", "TILE_NIS_SHARPEN"]
+__all__ = ["tile_mask", "pixel_mask", "nis_optimal_block",
+           "TILE_FSR", "TILE_NIS_SCALER", "TILE_NIS_SHARPEN"]
 
 TILE_FSR = (16, 16)
 TILE_NIS_SCALER = (32, 24)
 TILE_NIS_SHARPEN = (32, 32)
+
+
+def nis_optimal_block(is_upscaling=True, gpu_arch="nvidia"):
+    """NISOptimizer port (src/nis/NIS_Config.h:81-141): the dispatch
+    block geometry NIS advertises per GPU architecture.
+
+    Returns ((block_w, block_h), thread_group_size). Every architecture
+    the reference enumerates (NVIDIA/AMD/Intel generic) resolves to the
+    same 32x24 (upscale) / 32x32 (sharpen) blocks with 256 threads —
+    which is why the foveation mask-state tiles above are fixed constants;
+    this helper exists for API parity and documents the equivalence."""
+    if gpu_arch not in ("nvidia", "amd", "intel"):
+        raise ValueError(f"unknown gpu_arch {gpu_arch!r}")
+    return (TILE_NIS_SCALER if is_upscaling else TILE_NIS_SHARPEN), 256
 
 
 def tile_mask(out_w, out_h, tile, centres, radius_sq):

@@ -94,3 +94,17 @@ class TestFoveation:
         fc = C.foveation_constants(201, 100, 0.5, (0.4, 0.6), (0.7, 0.3), False)
         assert fc.centre_left == (int(F32(100) * F32(0.4)), int(F32(100) * F32(0.6)))
         assert fc.centre_right[0] == int(F32(100) * (F32(1.0) + F32(0.7)))
+
+    def test_nis_optimal_block(self):
+        # NISOptimizer port (NIS_Config.h:104-140): 32x24 upscale /
+        # 32x32 sharpen, 256 threads, identical across the three archs —
+        # and equal to the foveation mask-state tile constants.
+        from openvr_fsr_tpu.core import foveation as fov
+        import pytest
+        for arch in ("nvidia", "amd", "intel"):
+            assert fov.nis_optimal_block(True, arch) == \
+                (fov.TILE_NIS_SCALER, 256)
+            assert fov.nis_optimal_block(False, arch) == \
+                (fov.TILE_NIS_SHARPEN, 256)
+        with pytest.raises(ValueError):
+            fov.nis_optimal_block(True, "mali")
