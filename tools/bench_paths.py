@@ -69,6 +69,31 @@ def main():
         return jax.device_put(np.pad(
             packed, ((0, 0), (0, hp - h), (0, wp - w))))
 
+    # Session HBM calibration (bench.py's yardstick): one read + one write
+    # rate measurement, reused to stamp every path with its memory
+    # speed-of-light so the artifact stays interpretable across the tunnel
+    # chip's ~35% session-to-session drift.
+    def _cal(fn, buf, n=20):
+        y = fn(buf)
+        _ = np.asarray(jnp.ravel(y)[0])
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = fn(buf)
+            _ = np.asarray(jnp.ravel(y)[0])
+            ts.append((time.perf_counter() - t0) / n)
+        return min(ts)
+
+    cal_in = jax.device_put(np.zeros((2, 1872, 1792), np.uint32))
+    read_bw = cal_in.size * 4 / _cal(
+        jax.jit(lambda a: jnp.sum(a, axis=(1, 2))), cal_in)
+    cal_out = jnp.zeros((2, 2492, 2244), jnp.uint32)
+    write_bw = cal_out.size * 4 / _cal(
+        jax.jit(lambda a: jnp.full((2, 2492, 2244), a[0, 0, 0])), cal_out)
+    print(f"[bench_paths] calibration: read {read_bw/1e9:.0f} GB/s, "
+          f"write {write_bw/1e9:.0f} GB/s", file=sys.stderr, flush=True)
+
     results = {}
     for name in args.paths.split(","):
         cfg_kw, (w, h) = PATHS[name]
@@ -98,15 +123,21 @@ def main():
         run(5)
         ms = min(run(args.iters) for _ in range(3))
         mpix = 2 * ow * oh / 1e6
+        in_b = 2 * h * w * 4
+        out_b = 2 * ow * oh * 4
+        sol_ms = (in_b / read_bw + out_b / write_bw) * 1000.0
         results[name] = {
             "metric": f"{name}_stereo_{ow}x{oh}_ms",
             "value": round(ms, 4),
             "unit": "ms",
             "mpix_per_s": round(mpix / (ms / 1000.0), 1),
             "compile_s": round(compile_s, 1),
+            "hbm_sol_ms": round(sol_ms, 4),
+            "vs_sol": round(sol_ms / ms, 4),
         }
         print(f"[bench_paths] {name}: {ms:.3f} ms/pair "
               f"({results[name]['mpix_per_s']:.0f} Mpix/s, "
+              f"{sol_ms/ms*100:.0f}% of memory SOL, "
               f"compile {compile_s:.0f}s)", file=sys.stderr, flush=True)
 
     existing = {}
@@ -117,9 +148,12 @@ def main():
     existing["_meta"] = {
         "config": "stereo pair, sharpness 0.9, radius 0.5, packed-u32 "
                   "serving input",
-        "note": "absolute times are for the axon dev tunnel chip; read "
-                "against tools/microbench.py calibrate (~35-40 GB/s HBM "
-                "per direction, far below v5e datasheet)",
+        "device_read_gbps": round(read_bw / 1e9, 1),
+        "device_write_gbps": round(write_bw / 1e9, 1),
+        "note": "absolute times are for the axon dev tunnel chip, whose "
+                "rates drift ~35% between sessions; vs_sol (this "
+                "session's HBM speed-of-light / measured time) is the "
+                "drift-independent number",
     }
     out_path.write_text(json.dumps(existing, indent=1) + "\n")
     print(json.dumps({k: v["value"] for k, v in results.items()}))
