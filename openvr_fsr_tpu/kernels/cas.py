@@ -55,12 +55,14 @@ _CHUNK = 128
 
 def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                       centres, color_bits=8, debug=False, band_rows=128,
-                      chunk=_CHUNK, precision="full", interpret=False):
+                      chunk=_CHUNK, precision="full", interpret=False,
+                      no_derive=False):
     """Build the CAS scaling kernel for a fixed shape/config.
 
     Args mirror kernels/fsr.build_fsr_fused; sharpness is the [0,1] CAS
     slider (CasSetup, ffx_cas.h:391). Returns fn(img) with the same packed
-    u32 (8-bit) / planar f32 (10-bit) IO contract.
+    u32 (8-bit) / planar f32 (10-bit) IO contract. no_derive forces the
+    4-block row-gather matmul prologue (A/B of the derived-rows variant).
     """
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
@@ -103,11 +105,45 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     fbx_p = np.concatenate([fbx, np.repeat(fbx[-1:], OWP - OW)]) \
         if OWP > OW else fbx
 
+    # --- derived-rows prologue structure (mirror of kernels/fsr.py v3) ------
+    # fyi is monotone with steps <= 1 inside the CAS scaling envelope
+    # (<= 4x area => per-dim scale in [0.5, 1], ffx_cas.h:368-372), so the
+    # 4 dy tap blocks are views of ONE extended dy=0 gather E[j] =
+    # Load(fyi_u(i*TH - 2 + j)): row t of block dy equals E[t + 2 + s] for
+    # a shift s taking one of two values per dy, selected by a host mask.
+    # CAS taps are Load() zero-OOB (not clamped), so the derivation runs in
+    # *unclamped* index space: the extended one-hot has zero rows exactly
+    # where fyi_u is out of image, and target equality in sentinel space
+    # implies matching zero rows. Host-verified per build; falls back to
+    # the direct 4-block gather when the structure doesn't hold.
+    EXT = TH + 5                         # j = t + 2 + s, s in [-2, 3]
+    TPX = BD.round_up(EXT, 8)
+    rows_ext = (np.arange(GY)[:, None] * TH - 2
+                + np.arange(EXT)[None, :])            # unclamped out rows
+    fyi_x = cas_upscale_index_maps(H, OH, rows=rows_ext)[0]  # (GY, EXT)
+    row_live = (np.arange(GY)[:, None] * TH
+                + np.arange(TH)[None, :]) < OH
+    _SHIFTS = {-1: (-1, -2), 1: (1, 2), 2: (2, 3)}
+    derive_ok = not no_derive
+    dymasks = np.zeros((GY, 3, TH, 1), np.float32)    # dy -1, 1, 2: 1 = s1
+    for i in range(GY):
+        for mi, dy in enumerate((-1, 1, 2)):
+            s1, s2 = _SHIFTS[dy]
+            tgt = fyi_x[i, 2:2 + TH] + dy             # unclamped target
+            m1 = fyi_x[i, 2 + s1:2 + s1 + TH] == tgt
+            m2 = fyi_x[i, 2 + s2:2 + s2 + TH] == tgt
+            if not ((m1 | m2) | ~row_live[i]).all():
+                derive_ok = False
+            dymasks[i, mi, :, 0] = m1
+
     # per-band input row windows (cover all valid taps incl. bilinear rows)
     lo = np.minimum(np.clip(fyi_e[:, 0] - 1, 0, H - 1),
                     np.clip(by0_e[:, 0], 0, H - 1))
     hi = np.maximum(np.clip(fyi_e[:, -1] + 2, 0, H - 1),
                     np.clip(by0_e[:, -1] + 1, 0, H - 1))
+    if derive_ok:   # the extended gather may reach one in-image row further
+        lo = np.minimum(lo, np.clip(fyi_x[:, 0], 0, H - 1))
+        hi = np.maximum(hi, np.clip(fyi_x[:, -1], 0, H - 1))
     IH, oy_all = BD.row_windows(lo, hi, HP)
 
     # per-chunk static input column windows
@@ -148,11 +184,25 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
             oh[:TH] = (loc[:, None] == iota_ih) & valid[:, None]
         return oh
 
-    rstack = np.zeros((GY, N_ROW, IH), np.float32)
-    for i in range(GY):
-        blocks = [_row_oh(fyi_e[i] + dy, i, False) for dy in _DYS]
-        blocks += [_row_oh(by0_e[i], i, True), _row_oh(by0_e[i] + 1, i, True)]
-        rstack[i] = np.concatenate(blocks, axis=0)
+    if derive_ok:
+        # [extended dy=0 gather (TPX rows, zero-OOB) | 2 bilinear blocks]
+        N_RIN = TPX + N_BIL
+        rstack = np.zeros((GY, N_RIN, IH), np.float32)
+        for i in range(GY):
+            valid = (fyi_x[i] >= 0) & (fyi_x[i] < H)
+            loc = fyi_x[i] - oy_all[i]
+            rstack[i, :EXT] = ((loc[:, None] == iota_ih)
+                               & valid[:, None]).astype(np.float32)
+            rstack[i, TPX:TPX + TP] = _row_oh(by0_e[i], i, True)
+            rstack[i, TPX + TP:] = _row_oh(by0_e[i] + 1, i, True)
+    else:
+        N_RIN = N_ROW
+        rstack = np.zeros((GY, N_RIN, IH), np.float32)
+        for i in range(GY):
+            blocks = [_row_oh(fyi_e[i] + dy, i, False) for dy in _DYS]
+            blocks += [_row_oh(by0_e[i], i, True),
+                       _row_oh(by0_e[i] + 1, i, True)]
+            rstack[i] = np.concatenate(blocks, axis=0)
 
     iota_kc = np.arange(KC)[:, None]
     sstack = np.zeros((NCHUNK, KC, 6 * CHUNK), np.float32)
@@ -174,7 +224,7 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     dyi = {dy: j for j, dy in enumerate(_DYS)}
 
     def kernel(oy_ref, cls_ref, bcls_ref,
-               img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r,
+               img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,
                out_ref, inbuf, g_rows, s_cas, s_bilx, sems):
         b = pl.program_id(0)
         i = pl.program_id(1)
@@ -187,11 +237,31 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         ppy_t = ppy_r[0]                     # (TH, 1)
         one = F32(1.0)
 
-        # band prologue: one row-gather matmul per channel
         r_all = rst_r[0]
-        for c in range(3):
-            g = _mm(r_all, chans[c])
-            g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
+        if derive_ok:
+            # derived prologue: ONE TPX-row extended dy=0 gather per
+            # channel; the 4 dy blocks are sublane slices of it (+ one
+            # select for the two-shift dys). Rows TH..TP of each block
+            # stay stale — matmul row i only affects output row i, and
+            # the tap slices read [.. : .. + TH] only.
+            m = dym_r[0]                                # (3, TH, 1) f32
+            for c in range(3):
+                g0 = _mm(r_all[:TPX], chans[c]).astype(g_rows.dtype)
+                base = c * N_ROW
+                g_rows[base:base + TH] = jnp.where(          # dy = -1
+                    m[0] > F32(0.5), g0[1:1 + TH], g0[0:TH])
+                g_rows[base + TP:base + TP + TH] = g0[2:2 + TH]  # dy = 0
+                g_rows[base + 2 * TP:base + 2 * TP + TH] = jnp.where(
+                    m[1] > F32(0.5), g0[3:3 + TH], g0[4:4 + TH])  # dy = 1
+                g_rows[base + 3 * TP:base + 3 * TP + TH] = jnp.where(
+                    m[2] > F32(0.5), g0[4:4 + TH], g0[5:5 + TH])  # dy = 2
+                gb = _mm(r_all[TPX:], chans[c])
+                g_rows[base + N_CAS:base + N_ROW] = gb.astype(g_rows.dtype)
+        else:
+            # fallback prologue: one full row-gather matmul per channel
+            for c in range(3):
+                g = _mm(r_all, chans[c])
+                g_rows[c * N_ROW:(c + 1) * N_ROW] = g.astype(g_rows.dtype)
 
         def _cas_chunk(k, c0, w0, ppx_c):
             s_e = sst_r[k, :, :4 * CHUNK]
@@ -259,12 +329,13 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, N_ROW, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, N_RIN, IH), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, KC, 6 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, 1), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((NCHUNK, 1, CHUNK), lambda b, i, *_: (0, 0, 0)),
+            pl.BlockSpec((1, 3, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
         ],
         out_specs=(pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0))
                    if pol.packed_io else
@@ -297,7 +368,8 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                jnp.asarray(band_cls), jnp.asarray(mstate),
                jnp.asarray(rstack, pol.mm_dtype),
                jnp.asarray(sstack, pol.mm_dtype)] \
-        + [jnp.asarray(a) for a in rowmaps + colmaps]
+        + [jnp.asarray(a) for a in rowmaps + colmaps] \
+        + [jnp.asarray(dymasks)]
 
     return BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,

@@ -144,11 +144,19 @@ def cas_upscale_core(taps, ppx, ppy, sharp, dt=F32):
                   * rcp_w)
 
 
-def cas_upscale_index_maps(in_n, out_n):
-    """Per-axis pp maps (ffx_cas.h:385-388, 568-571), f32-faithful numpy."""
+def cas_upscale_index_maps(in_n, out_n, rows=None):
+    """Per-axis pp maps (ffx_cas.h:385-388, 568-571), f32-faithful numpy.
+
+    rows: optional integer array of output positions to evaluate at —
+    may extend beyond [0, out_n) (used by the derived-rows prologue in
+    kernels/cas.py, which needs the unclamped map on a halo of virtual
+    output rows). Defaults to arange(out_n). The f32 op order is identical
+    either way, so in-range values match exactly."""
     scale = np.float32(in_n) * rcp(np.float32(out_n))
     off = F32(0.5) * np.float32(in_n) * rcp(np.float32(out_n)) - F32(0.5)
-    pp = (np.arange(out_n, dtype=np.float32) * scale + off
+    if rows is None:
+        rows = np.arange(out_n)
+    pp = (np.asarray(rows).astype(np.float32) * scale + off
           ).astype(np.float32)
     fp = np.floor(pp)
     return fp.astype(np.int64), (pp - fp).astype(np.float32)

@@ -263,3 +263,30 @@ class TestCasPipeline:
         self._assert_close(b.astype(int), a.astype(int))
         full = np.asarray(Pipeline(cfg, backend="xla").process(frames))
         assert not np.array_equal(a, full)   # the clamp changed the output
+
+    def test_derived_rows_matches_fallback(self):
+        """The derived-rows prologue (one extended zero-OOB gather + static
+        slices/selects) must reproduce the direct 4-block row gather,
+        including the Load() zero rows at the frame top/bottom edge bands.
+
+        Tolerance 1 LSB, not bitwise: the two programs compile separately
+        and XLA:CPU may FMA-contract downstream lerps differently; the TPU
+        PARITY artifacts assert the oracle match bitwise."""
+        from openvr_fsr_tpu.core import constants as C
+        from openvr_fsr_tpu.kernels.cas import build_cas_upscale
+
+        h, w, oh, ow = 53, 66, 72, 88    # several bands with band_rows=32
+        fc = C.foveation_constants(ow, oh, 2.0, (0.5, 0.5), (0.5, 0.5),
+                                   False)
+        centres = np.asarray(
+            [[*fc.centre_left, *fc.centre_right, fc.radius_sq]], np.int64)
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 2**32, (1, h, w), dtype=np.uint32)
+        outs = []
+        for nd in (False, True):
+            fn = build_cas_upscale(1, h, w, ow, oh, sharpness=0.8,
+                                   centres=centres, band_rows=32,
+                                   interpret=True, no_derive=nd)
+            outs.append(np.asarray(fn(img)).view(np.uint8))
+        diff = np.abs(outs[0].astype(np.int16) - outs[1].astype(np.int16))
+        assert diff.max() <= 1, diff.max()

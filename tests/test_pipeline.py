@@ -355,6 +355,29 @@ class TestPackedU32Api:
         d = np.abs(a.astype(int) - b.astype(int))
         assert (d == 0).mean() >= 0.99 and d.max() <= 16
 
+    def test_prepadded_ring_frames_match(self):
+        """The device-ring serving format: packed-u32 frames pre-padded to
+        fn.pad_to (the kernel's (sublane, lane) DMA pitch) must produce the
+        same output as unpadded frames — tools/stream_bench.py and
+        tools/bench_paths.py feed this format directly."""
+        import jax
+        backend = ("pallas" if jax.default_backend() == "tpu"
+                   else "pallas-interpret")
+        u8, u32 = self._frames()
+        h, w = u8.shape[1:3]
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        pipe = Pipeline(cfg, backend=backend)
+        fn = pipe._build(2, h, w, (0, 1))
+        # the kernel's DMA pitch (kernels/_band.input_padding): rows to the
+        # 8-sublane, width to the 128-lane boundary
+        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+        assert (hp, wp) != (h, w)  # geometry chosen to exercise the pad
+        pre = np.pad(u32, ((0, 0), (0, hp - h), (0, wp - w)))
+        a = np.asarray(fn(u32))
+        b = np.asarray(fn(pre))
+        assert np.array_equal(a, b)
+
 
 class TestPresets:
     def test_amd_presets(self):
@@ -379,24 +402,3 @@ class TestPackedCapture:
         paths = save_frame(u32, directory=tmp_path)
         dds = [p for p in paths if str(p).endswith("dds")][0]
         assert np.array_equal(read_dds_rgba8(dds), u8)
-
-    def test_prepadded_ring_frames_match(self):
-        """The device-ring serving format: packed-u32 frames pre-padded to
-        fn.pad_to (the kernel's (sublane, lane) DMA pitch) must produce the
-        same output as unpadded frames — tools/stream_bench.py and
-        tools/bench_paths.py feed this format directly."""
-        import jax
-        backend = ("pallas" if jax.default_backend() == "tpu"
-                   else "pallas-interpret")
-        u8, u32 = self._frames()
-        h, w = u8.shape[1:3]
-        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
-                     radius=0.5)
-        pipe = Pipeline(cfg, backend=backend)
-        fn = pipe._build(2, h, w, (0, 1))
-        hp, wp = fn.pad_to
-        assert (hp, wp) != (h, w)  # geometry chosen to exercise the pad
-        pre = np.pad(u32, ((0, 0), (0, hp - h), (0, wp - w)))
-        a = np.asarray(fn(u32))
-        b = np.asarray(fn(pre))
-        assert np.array_equal(a, b)
