@@ -49,8 +49,7 @@ def main():
     def ring_frame(stereo_u8):
         """Pack NHWC RGBA8 to the native u32 plane and pad to the kernel's
         (sublane, lane) row pitch — the device-ring storage format."""
-        hp = -(-h_in // 8) * 8
-        wp = -(-w_in // 128) * 128
+        hp, wp = fn.pad_to
         packed = np.ascontiguousarray(stereo_u8).view(np.uint32)[..., 0]
         return jax.device_put(np.pad(
             packed, ((0, 0), (0, hp - h_in), (0, wp - w_in))))
@@ -91,25 +90,10 @@ def main():
     # sol_ms = this session's memory speed-of-light for the kernel's HBM
     # traffic (26.8 MB packed read + 44.7 MB packed write); vs_sol says how
     # close the kernel runs to that bound, independent of session drift.
-    def cal(fn, buf, n=20):
-        y = fn(buf)
-        _ = np.asarray(jnp.ravel(y)[0])
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                y = fn(buf)
-            _ = np.asarray(jnp.ravel(y)[0])
-            ts.append((time.perf_counter() - t0) / n)
-        return min(ts)
-
+    from openvr_fsr_tpu.utils.timing import hbm_calibration
     in_bytes = float(inputs[0].size * 4)
-    out_buf = jnp.zeros((2, 2492, 2244), jnp.uint32)
-    out_bytes = float(out_buf.size * 4)
-    read_bw = in_bytes / cal(jax.jit(lambda a: jnp.sum(a, axis=(1, 2))),
-                             inputs[0])
-    write_bw = out_bytes / cal(
-        jax.jit(lambda a: jnp.full((2, 2492, 2244), a[0, 0, 0])), out_buf)
+    out_bytes = float(2 * 2492 * 2244 * 4)
+    read_bw, write_bw = hbm_calibration(read_shape=inputs[0].shape)
     sol_ms = (in_bytes / read_bw + out_bytes / write_bw) * 1000.0
     print(f"[bench] calibration: read {read_bw/1e9:.0f} GB/s, "
           f"write {write_bw/1e9:.0f} GB/s, sol {sol_ms:.3f} ms "

@@ -61,7 +61,19 @@ def _packed_run(kern):
                 [x, jnp.full(x.shape[:-1] + (1,), 255, x.dtype)], axis=-1)
         packed = jax.lax.bitcast_convert_type(x, jnp.uint32)
         return jax.lax.bitcast_convert_type(kern(packed), jnp.uint8)
+    run.pad_to = getattr(kern, "pad_to", None)
     return run
+
+
+def _jit_io(run):
+    """jit a builder's IO fn, carrying the kernel's published DMA pitch
+    (fn.pad_to — the pre-pad shape device-ring frames must use) through to
+    the function callers get from _build."""
+    jfn = jax.jit(run)
+    pad_to = getattr(run, "pad_to", None)
+    if pad_to is not None:
+        jfn.pad_to = pad_to
+    return jfn
 
 
 class Pipeline:
@@ -203,7 +215,7 @@ class Pipeline:
                 return from_planar(jnp.concatenate([rgb, alpha], axis=1),
                                    color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build_rcas_sharpen(self, b, h, w, eyes, interpret):
         """Sharpen-only Pallas path (kernels/rcas.py) for renderScale == 1."""
@@ -226,7 +238,7 @@ class Pipeline:
                 return from_planar(sharpen(ints.astype(jnp.float32)),
                                    color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build_nvsharpen(self, b, h, w, eyes, interpret):
         """NVSharpen Pallas path (kernels/nis.py) for NIS at renderScale == 1."""
@@ -250,7 +262,7 @@ class Pipeline:
                 return from_planar(sharpen(ints.astype(jnp.float32)),
                                    color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build_nvscaler(self, b, h, w, eyes, interpret):
         """NVScaler Pallas path (kernels/nis.py) for NIS upscaling.
@@ -282,7 +294,7 @@ class Pipeline:
                                      (0, 3, 1, 2)).astype(jnp.float32)
                 return from_planar(scaler(ints), color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build_cas_upscale(self, b, h, w, eyes, interpret):
         """CAS scaling path (kernels/cas.py) — CasFilter noScaling=false
@@ -314,7 +326,7 @@ class Pipeline:
                 return from_planar(jnp.concatenate([rgb, alpha], axis=1),
                                    color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build_cas_sharpen(self, b, h, w, eyes, interpret):
         """CAS sharpen-only path (kernels/cas.py, noScaling=true) for
@@ -339,7 +351,7 @@ class Pipeline:
                 return from_planar(sharpen(ints.astype(jnp.float32)),
                                    color_bits, alpha_bits)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _build(self, b, h, w, eyes):
         cfg = self.config
@@ -489,7 +501,7 @@ class Pipeline:
             return (jax.lax.bitcast_convert_type(out, jnp.uint32)
                     if packed else out)
 
-        return jax.jit(run)
+        return _jit_io(run)
 
     def _apply_bounds_layout(self, bounds):
         """The reference's per-Submit layout detection (PostProcessor.cpp:

@@ -371,10 +371,12 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         + [jnp.asarray(a) for a in rowmaps + colmaps] \
         + [jnp.asarray(dymasks)]
 
-    return BD.make_io_fn(
+    fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
         H, W, HP, WP, pol.packed_io)
+    fn.derived_rows = derive_ok   # lets tests pin the prologue actually taken
+    return fn
 
 
 def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,

@@ -110,10 +110,6 @@ class DebugKnobs:
     epi_chunk_gate: bool = False
 
 
-def _round_up(x, m):
-    return -(-int(x) // m) * m
-
-
 def _bilinear_axis(out_n, in_n):
     """Float32-faithful copy of ops.bilinear maps for u = arange(n)/n
     (fsr_easu.hlsl:34 fallback sampling; ops/bilinear.py:56-62)."""
@@ -181,7 +177,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
     # Auto-shrink the band for very wide frames (8K): the band scratches
     # scale with band_rows * padded-out-width, and VMEM is 128 MB on v5e.
-    OWP_EST = _round_up(OW, int(chunk))
+    OWP_EST = BD.round_up(OW, int(chunk))
     while band_rows > 32 and 10 * (int(band_rows) + 2) * OWP_EST * 4 > 24 * 2**20:
         band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
@@ -203,7 +199,6 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     # NOTE: packed_io keys on exact_bf16 (not color_bits) here — the
     # force_highest profiling knob must also disable the u32 fast path.
     packed_io = exact_bf16               # u32-packed RGBA8 IO fast path
-    row_align = BD.ROW_ALIGN             # (8,128) tiling for u32 and f32
     HP, WP = BD.input_padding(H, W)
 
     # --- host-side static maps ------------------------------------------------
@@ -226,7 +221,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     # only — out-of-image rows are discarded downstream via mask state 2);
     # falls back to the 4-block matmul when the shift structure doesn't hold.
     EXT = TH_E + 5                       # j = t + 2 + s, s in [-2, 3]
-    TPX = _round_up(EXT, 8)
+    TPX = BD.round_up(EXT, 8)
     rows_ext_g = np.clip(np.arange(GY)[:, None] * TH - 3
                          + np.arange(EXT)[None, :], 0, OH - 1)
     fyi_x = fyi.astype(np.int32)[rows_ext_g]          # (GY, EXT)
@@ -281,7 +276,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     # become static (unaligned) lane slices + one select. Host-verified per
     # build on live columns; falls back to the 4-block layout otherwise.
     EXTC = CHUNK + 5                     # j = c + 2 + s, s in [-2, 3]
-    EXTC_P = _round_up(EXTC, 128)
+    EXTC_P = BD.round_up(EXTC, 128)
     _CSHIFTS = {-1: (-1, -2), 1: (1, 2), 2: (2, 3)}
     derive_cols_ok = not _NO_DERIVE_COLS
     cmasks = np.zeros((NCHUNK, 3, 1, CHUNK), np.float32)  # dx -1,1,2: 1 = s1
@@ -325,7 +320,7 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     # the row gather runs ONCE per band per channel (6 blocks stacked) into
     # a G scratch; per chunk a single matmul against the stacked column
     # one-hot then produces ALL tap combinations at once.
-    TP = _round_up(TH_E, 8)
+    TP = BD.round_up(TH_E, 8)
     N_EASU = 4 * TP          # dy in _DYS
     N_BIL = 2 * TP           # bilinear y0, y1
     N_ROW = N_EASU + N_BIL

@@ -432,7 +432,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     # kernel is exact at texture borders with no XLA patching.
     #
     # (A round-3 experiment derived all 12 blocks from one extended gather
-    # per RGBA channel, kernels/_derive.py — bit-equal but a measured ~2
+    # per RGBA channel — bit-equal but a measured ~2
     # ms/pair LOSS on v5e: moving the luma computation after the gather
     # multiplies the VPU getY work by the tap count, and the stacked
     # per-channel chunk matmuls outweigh the smaller row-gather. The

@@ -124,11 +124,17 @@ def parse_cfg_native(text):
 
 
 def dds_write_native(path, rgba, color_bits=8):
+    """rgba: (H, W, 4) uint8 (color_bits=8) or (H, W) uint32 packed
+    R10G10B10A2 (color_bits=10) — the encoder writes raw 32bpp texels."""
     L = lib()
     if L is None:
         return False
-    rgba = np.ascontiguousarray(np.asarray(rgba, np.uint8))
-    h, w = rgba.shape[:2]
+    if color_bits == 10:
+        rgba = np.ascontiguousarray(np.asarray(rgba, np.uint32))
+        h, w = rgba.shape[:2]
+    else:
+        rgba = np.ascontiguousarray(np.asarray(rgba, np.uint8))
+        h, w = rgba.shape[:2]
     rc = L.ovrfsr_dds_write(str(path).encode(), w, h,
                             rgba.ctypes.data_as(ctypes.c_char_p), color_bits)
     if rc != 0:
@@ -137,6 +143,9 @@ def dds_write_native(path, rgba, color_bits=8):
 
 
 def dds_read_native(path):
+    """Returns ((H, W, 4) uint8 texel bytes, color_bits) — for 10-bit files
+    the bytes are packed R10G10B10A2 (view as uint32 to unpack), or None if
+    the native lib is unavailable."""
     L = lib()
     if L is None:
         return None
@@ -151,7 +160,7 @@ def dds_read_native(path):
     if L.ovrfsr_dds_read(str(path).encode(),
                          buf.ctypes.data_as(ctypes.c_char_p), n) != 0:
         raise IOError(f"native DDS read failed: {path}")
-    return buf
+    return buf, bits.value
 
 
 class FrameRing:

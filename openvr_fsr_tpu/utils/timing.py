@@ -12,7 +12,7 @@ import jax
 
 from .log import get_logger
 
-__all__ = ["GpuTimer", "bench_fn"]
+__all__ = ["GpuTimer", "bench_fn", "hbm_calibration"]
 
 
 class GpuTimer:
@@ -74,3 +74,37 @@ class _null:
 
     def __exit__(self, *a):
         return False
+
+
+def hbm_calibration(read_shape=(2, 1872, 1792), write_shape=(2, 2492, 2244),
+                    n=20, rounds=3):
+    """Session HBM rate probe — returns (read_bw, write_bw) in bytes/s.
+
+    The dev tunnel's sustained HBM rates swing ~35% between sessions, so
+    every published kernel time is stamped with the same-session memory
+    speed-of-light computed from these rates (bench.py / tools/
+    bench_paths.py). Probes: a u32 row-reduce (pure read) and a broadcast
+    fill (pure write) at the headline working-set shapes, min-of-rounds
+    with a host-transfer fence (the axon transport acks early)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _cal(fn, buf):
+        y = fn(buf)
+        _ = np.asarray(jnp.ravel(y)[0])
+        ts = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                y = fn(buf)
+            _ = np.asarray(jnp.ravel(y)[0])
+            ts.append((time.perf_counter() - t0) / n)
+        return min(ts)
+
+    rbuf = jax.device_put(np.zeros(read_shape, np.uint32))
+    wbuf = jnp.zeros(write_shape, jnp.uint32)
+    read_bw = rbuf.size * 4 / _cal(
+        jax.jit(lambda a: jnp.sum(a, axis=(1, 2))), rbuf)
+    write_bw = wbuf.size * 4 / _cal(
+        jax.jit(lambda a: jnp.full(write_shape, a[0, 0, 0])), wbuf)
+    return read_bw, write_bw

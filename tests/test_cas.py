@@ -287,6 +287,10 @@ class TestCasPipeline:
             fn = build_cas_upscale(1, h, w, ow, oh, sharpness=0.8,
                                    centres=centres, band_rows=32,
                                    interpret=True, no_derive=nd)
+            # pin that the A/B is real: the derived structure must actually
+            # hold for this geometry (else both builds are the fallback and
+            # the comparison is vacuous)
+            assert fn.derived_rows == (not nd)
             outs.append(np.asarray(fn(img)).view(np.uint8))
         diff = np.abs(outs[0].astype(np.int16) - outs[1].astype(np.int16))
         assert diff.max() <= 1, diff.max()

@@ -58,8 +58,26 @@ class TestNativeDds:
         img = FR.noise_frame(20, 24)
         p = tmp_path / "n.dds"
         assert native_rt.dds_write_native(p, img)
-        out = native_rt.dds_read_native(p)
+        out, bits = native_rt.dds_read_native(p)
+        assert bits == 8
         assert np.array_equal(out, img)
+
+    def test_roundtrip_native_10bit(self, tmp_path):
+        from openvr_fsr_tpu.api.capture import (pack_r10g10b10a2,
+                                                unpack_r10g10b10a2)
+
+        rng = np.random.default_rng(2)
+        img = np.empty((10, 14, 4), np.uint16)
+        img[..., :3] = rng.integers(0, 1024, (10, 14, 3))
+        img[..., 3] = rng.integers(0, 4, (10, 14))
+        p = tmp_path / "n10.dds"
+        assert native_rt.dds_write_native(p, pack_r10g10b10a2(img),
+                                          color_bits=10)
+        raw, bits = native_rt.dds_read_native(p)
+        assert bits == 10
+        got = unpack_r10g10b10a2(
+            np.ascontiguousarray(raw).view(np.uint32)[..., 0])
+        assert np.array_equal(got, img)
 
     def test_native_read_python_write(self, tmp_path):
         from openvr_fsr_tpu.api.capture import read_dds_rgba8

@@ -219,6 +219,49 @@ class TestCapture:
         pipe.process(fr[None], eyes=(0,))
         assert len(list(tmp_path.iterdir())) == 1
 
+    def test_dds_r10_roundtrip_both_codecs(self, tmp_path):
+        # R10G10B10A2 capture (PostProcessor.cpp:63-74's second output
+        # format): full 10-bit precision survives the DDS round trip on
+        # the native and the pure-Python codec alike
+        from openvr_fsr_tpu.api.capture import write_dds_r10, read_dds
+        from openvr_fsr_tpu import native_rt
+
+        rng = np.random.default_rng(5)
+        img = np.empty((12, 16, 4), np.uint16)
+        img[..., :3] = rng.integers(0, 1024, (12, 16, 3))
+        img[..., 3] = rng.integers(0, 4, (12, 16))
+        saved = (native_rt._TRIED, native_rt._LIB)
+        try:
+            for force_py in (False, True):
+                if force_py:
+                    native_rt._TRIED, native_rt._LIB = True, None
+                p = tmp_path / f"x10_{force_py}.dds"
+                write_dds_r10(p, img)
+                out, bits = read_dds(p)
+                assert bits == 10 and out.dtype == np.uint16
+                assert np.array_equal(out, img)
+        finally:
+            native_rt._TRIED, native_rt._LIB = saved
+
+    def test_arm_capture_10bit(self, tmp_path):
+        # a color_bits=10 pipeline's uint16 output must capture losslessly
+        # (not wrap through a uint8 cast)
+        from openvr_fsr_tpu.api.capture import read_dds
+
+        pipe = Pipeline(Config(enabled=True, render_scale=0.75,
+                               sharpness=0.9, radius=2.0), color_bits=10)
+        rng = np.random.default_rng(11)
+        fr = np.empty((36, 40, 4), np.uint16)
+        fr[..., :3] = rng.integers(0, 1024, (36, 40, 3))
+        fr[..., 3] = 3
+        pipe.arm_capture(tmp_path)
+        out = np.asarray(pipe.process(fr[None], eyes=(0,)))
+        (path,) = pipe.last_capture_paths
+        got, bits = read_dds(path)
+        assert bits == 10
+        assert got.max() > 255     # genuine 10-bit payload survived
+        assert np.array_equal(got, out[0])
+
 
 class TestTextureBounds:
     """VRTextureBounds_t semantics (headers/openvr.h:609-613,
@@ -369,9 +412,7 @@ class TestPackedU32Api:
                      radius=0.5)
         pipe = Pipeline(cfg, backend=backend)
         fn = pipe._build(2, h, w, (0, 1))
-        # the kernel's DMA pitch (kernels/_band.input_padding): rows to the
-        # 8-sublane, width to the 128-lane boundary
-        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+        hp, wp = fn.pad_to   # the kernel's published (sublane, lane) pitch
         assert (hp, wp) != (h, w)  # geometry chosen to exercise the pad
         pre = np.pad(u32, ((0, 0), (0, hp - h), (0, wp - w)))
         a = np.asarray(fn(u32))

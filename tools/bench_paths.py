@@ -63,8 +63,10 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    def ring_frame(stereo_u8, h, w):
-        hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    def ring_frame(stereo_u8, fn):
+        """Pad to the built kernel's published DMA pitch (fn.pad_to)."""
+        h, w = stereo_u8.shape[1:3]
+        hp, wp = fn.pad_to
         packed = np.ascontiguousarray(stereo_u8).view(np.uint32)[..., 0]
         return jax.device_put(np.pad(
             packed, ((0, 0), (0, hp - h), (0, wp - w))))
@@ -73,24 +75,8 @@ def main():
     # rate measurement, reused to stamp every path with its memory
     # speed-of-light so the artifact stays interpretable across the tunnel
     # chip's ~35% session-to-session drift.
-    def _cal(fn, buf, n=20):
-        y = fn(buf)
-        _ = np.asarray(jnp.ravel(y)[0])
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                y = fn(buf)
-            _ = np.asarray(jnp.ravel(y)[0])
-            ts.append((time.perf_counter() - t0) / n)
-        return min(ts)
-
-    cal_in = jax.device_put(np.zeros((2, 1872, 1792), np.uint32))
-    read_bw = cal_in.size * 4 / _cal(
-        jax.jit(lambda a: jnp.sum(a, axis=(1, 2))), cal_in)
-    cal_out = jnp.zeros((2, 2492, 2244), jnp.uint32)
-    write_bw = cal_out.size * 4 / _cal(
-        jax.jit(lambda a: jnp.full((2, 2492, 2244), a[0, 0, 0])), cal_out)
+    from openvr_fsr_tpu.utils.timing import hbm_calibration
+    read_bw, write_bw = hbm_calibration()
     print(f"[bench_paths] calibration: read {read_bw/1e9:.0f} GB/s, "
           f"write {write_bw/1e9:.0f} GB/s", file=sys.stderr, flush=True)
 
@@ -100,14 +86,14 @@ def main():
         pipe = Pipeline(Config(enabled=True, sharpness=0.9, radius=0.5,
                                **cfg_kw))
         ow, oh = pipe.output_size(w, h)
-        inputs = [
-            ring_frame(np.stack([FR.zone_plate_frame(h, w),
-                                 FR.noise_frame(h, w, seed=1)]), h, w),
-            ring_frame(rng.integers(0, 256, (2, h, w, 4)).astype(np.uint8),
-                       h, w),
-        ]
         t0 = time.time()
         fn = pipe._build(2, h, w, (0, 1))
+        inputs = [
+            ring_frame(np.stack([FR.zone_plate_frame(h, w),
+                                 FR.noise_frame(h, w, seed=1)]), fn),
+            ring_frame(rng.integers(0, 256, (2, h, w, 4)).astype(np.uint8),
+                       fn),
+        ]
         y = fn(inputs[0])
         _ = np.asarray(y[0, 0, 0])
         compile_s = time.time() - t0

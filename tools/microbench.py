@@ -1,14 +1,17 @@
 """Consolidated TPU microbenchmarks (one file, subcommands).
 
-Usage: python tools/microbench.py {infra|v3|lanes|launch}
+Usage: python tools/microbench.py {infra|v3|lanes|launch|calibrate}
 
 Subcommands (formerly microbench.py .. microbench4.py; measured conclusions
 cited in ARCHITECTURE.md "Performance methodology"):
 
-  infra   Isolate Pallas infrastructure costs on the TPU tunnel: launch overhead,
-  v3      Second-stage microbench: validate the v3 fused-kernel restructure.
-  lanes   XLA-side phase split/interleave costs at headline sizes.
-  launch  Launch-overhead isolation: N kernel executions inside ONE jit (via
+  infra     Isolate Pallas infrastructure costs on the TPU tunnel: launch
+            overhead, DMA, unpack/pack, band elementwise, store.
+  v3        Second-stage microbench: validate the v3 fused-kernel restructure.
+  lanes     XLA-side phase split/interleave costs at headline sizes.
+  launch    Launch-overhead isolation: N kernel executions inside ONE jit.
+  calibrate Session HBM/MXU rates — the yardstick every absolute kernel
+            time must be read against (the tunnel chip drifts ~35%).
 """
 
 import sys
@@ -408,8 +411,11 @@ def main_v3():
 
     finter = skeleton(body_inter)
 
-
-
+    print(f"A easu_core per 128-chunk:   {bench(fa):7.3f} ms", flush=True)
+    print(f"B easu_core band-wide:       {bench(fb):7.3f} ms", flush=True)
+    print(f"C1 stride-3 phase split:     {bench(fstrided):7.3f} ms",
+          flush=True)
+    print(f"C2 phase-major easu 4x4:     {bench(fphase):7.3f} ms", flush=True)
     print(f"5-tap cross via pltpu.roll:  {bench(froll):7.3f} ms", flush=True)
     print(f"5-tap cross via concat+slice:{bench(fconcat):7.3f} ms",
           flush=True)

@@ -20,6 +20,8 @@ Usage: python tools/parity_r03.py [--skip-nis] (skip NVScaler's minutes-long
 compile when iterating on the others)
 """
 
+import glob
+import hashlib
 import json
 import os
 import sys
@@ -27,9 +29,33 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
 
 CACHE = "/tmp/parity_oracle_cache.npz"
+
+
+def _oracle_fingerprint():
+    """Digest of every source the oracle's output depends on, so editing
+    the oracle (or its constant tables) invalidates cached outputs."""
+    h = hashlib.sha1()
+    deps = sorted(glob.glob(os.path.join(ROOT, "openvr_fsr_tpu/oracle/*.py"))
+                  + [os.path.join(ROOT, "openvr_fsr_tpu/core", f)
+                     for f in ("constants.py", "nis_tables.py",
+                               "foveation.py")])
+    for p in deps:
+        if os.path.exists(p):
+            h.update(open(p, "rb").read())
+    return h.hexdigest()
+
+
+def _case_key(name, frame, kw, oracle_fp):
+    """Cache key = case name + digest of (config, frame, oracle sources) —
+    a stale /tmp cache can never be judged against silently."""
+    h = hashlib.sha1(oracle_fp.encode())
+    h.update(repr(sorted(kw.items())).encode())
+    h.update(np.ascontiguousarray(frame).tobytes())
+    return f"{name}:{h.hexdigest()[:16]}"
 
 
 def main():
@@ -83,19 +109,21 @@ def main():
         ]
 
     cache = dict(np.load(CACHE)) if os.path.exists(CACHE) else {}
+    oracle_fp = _oracle_fingerprint()
 
     results = {}
     for key, fr, kw in cases:
-        if key not in cache:
+        ck = _case_key(key, fr, kw, oracle_fp)
+        if ck not in cache:
             t0 = time.perf_counter()
-            cache[key] = pipeline_oracle(
+            cache[ck] = pipeline_oracle(
                 fr, kw["render_scale"], kw["sharpness"],
                 use_nis=kw.get("use_nis", False),
                 use_cas=kw.get("use_cas", False), radius=kw["radius"])
             print(f"[oracle] {key}: {time.perf_counter() - t0:.0f}s",
                   file=sys.stderr, flush=True)
             np.savez_compressed(CACHE, **cache)
-        want = cache[key]
+        want = cache[ck]
 
         cfg = Config(enabled=True, render_scale=kw["render_scale"],
                      sharpness=kw["sharpness"], radius=kw["radius"],

@@ -71,9 +71,9 @@ def main():
                            sharpness=0.9, radius=args.radius))
 
     # serving format: packed u32, pre-padded to the kernel's DMA pitch
-    # (kernels/_band.input_padding: rows to the 8-sublane, width to lanes)
+    # (published by the built fn as pad_to)
     run = pipe._build(2, h, w, (0, 1))
-    hp, wp = -(-h // 8) * 8, -(-w // 128) * 128
+    hp, wp = run.pad_to
 
     def ring_frame(stereo_u8):
         packed = np.ascontiguousarray(stereo_u8).view(np.uint32)[..., 0]
