@@ -25,13 +25,31 @@ serving flow pays.
 """
 
 import json
+import os
+import signal
 import sys
 import time
 
 import numpy as np
 
+# The tunnel's device init can hang indefinitely when the transport is
+# down; a hung bench is worse than a failed one for the driver that runs
+# this at round end, so fail loudly instead.
+WATCHDOG_S = 1500
+
+
+def _watchdog(signum, frame):
+    print(json.dumps({"metric": "fsr_stereo_eyepair_2244x2492_rs075_ms",
+                      "value": None, "unit": "ms", "vs_baseline": None,
+                      "error": f"watchdog: no result in {WATCHDOG_S}s "
+                               "(TPU tunnel unresponsive?)"}), flush=True)
+    os._exit(2)
+
 
 def main():
+    if hasattr(signal, "SIGALRM"):
+        signal.signal(signal.SIGALRM, _watchdog)
+        signal.alarm(WATCHDOG_S)
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +118,8 @@ def main():
           f"(kernel at {sol_ms/per_pair_ms*100:.0f}% of memory SOL)",
           file=sys.stderr)
 
+    if hasattr(signal, "SIGALRM"):
+        signal.alarm(0)
     print(json.dumps({
         "metric": "fsr_stereo_eyepair_2244x2492_rs075_ms",
         "value": round(per_pair_ms, 4),
