@@ -1,6 +1,6 @@
 """Consolidated TPU microbenchmarks (one file, subcommands).
 
-Usage: python tools/microbench.py {infra|v3|lanes|launch|calibrate}
+Usage: python tools/microbench.py {infra|v3|lanes|launch|calibrate|overlap}
 
 Subcommands (formerly microbench.py .. microbench4.py; measured conclusions
 cited in ARCHITECTURE.md "Performance methodology"):
@@ -12,6 +12,8 @@ cited in ARCHITECTURE.md "Performance methodology"):
   launch    Launch-overhead isolation: N kernel executions inside ONE jit.
   calibrate Session HBM/MXU rates — the yardstick every absolute kernel
             time must be read against (the tunnel chip drifts ~35%).
+  overlap   Does the chip hide DMA/copy-out behind VPU compute? (the
+            question behind the fused kernel's additive IO+compute floor)
 """
 
 import sys
@@ -156,6 +158,132 @@ def main_infra():
     print(f"{'XLA u32 +1 (out-shape, chained)':38s} "
           f"{(time.perf_counter() - t0) / 40 * 1000:7.3f} ms")
 
+
+
+# ===== overlap ===============================================================
+# Does this chip overlap DMA/copy-out with VPU compute at all?
+#
+# The fused kernel's measured components are ADDITIVE (IO floor 1.1 ms +
+# compute 2.3 ms = 3.4 total): if the manual input DMA and the pipeline's
+# output copy-out overlapped compute, the kernel would run at
+# max(IO, compute) = 2.3 ms. This probe sweeps VPU busywork M inside the
+# infra skeleton under three ablations and prints where the time goes:
+#
+#   full(M)       input DMA + unpack + M band FMAs + full-window store
+#   nodma(M)      same compute/store, input never copied (scratch iota)
+#   smallstore(M) same DMA/compute, 1/16-height output window
+#
+# If full(M) - nodma(M) stays ~= the input-DMA SOL across M, input DMA is
+# serialized (never hidden behind compute). If it shrinks toward 0 as M
+# grows, the DMA engine overlaps and the fused kernel's floor is
+# structural, not physical. Same logic for store via smallstore.
+
+def main_overlap():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, GY = 2, 20
+    IH, WP = 112, 1792
+    TH, OWP = 128, 2304
+    H_IN = 1872
+    TOTAL = B * GY
+
+    rng = np.random.default_rng(0)
+    imgs = [jax.device_put(
+        rng.integers(0, 2**32, (B, H_IN, WP), dtype=np.uint32))
+        for _ in range(3)]
+
+    def bench(fn, iters=30):
+        y = fn(imgs[0])
+        _ = np.asarray(y[0, 0, 0])
+
+        def run(n):
+            t0 = time.perf_counter()
+            for i in range(n):
+                y = fn(imgs[i % 3])
+            _ = np.asarray(jnp.sum(y[:, ::373, ::373]))
+            return (time.perf_counter() - t0) / n * 1000.0
+        run(5)
+        return min(run(iters) for _ in range(3))
+
+    def make(m, dma_in=True, th_out=TH):
+        def kernel(img, out_ref, inbuf, sems):
+            b = pl.program_id(0)
+            i = pl.program_id(1)
+            step = b * GY + i
+
+            def dma(slot, bb, ii):
+                src = img.at[bb, pl.ds(pl.multiple_of(ii * 88, 8), IH)]
+                return pltpu.make_async_copy(src, inbuf.at[slot],
+                                             sems.at[slot])
+
+            if dma_in:
+                @pl.when(step == 0)
+                def _():
+                    dma(0, b, i).start()
+
+                @pl.when(step + 1 < TOTAL)
+                def _():
+                    dma((step + 1) % 2, (step + 1) // GY,
+                        (step + 1) % GY).start()
+                slot = jax.lax.rem(step, 2)
+                dma(slot, b, i).wait()
+                raw = inbuf[slot].astype(jnp.int32)
+                row8 = jnp.bitwise_and(raw[:8], 255).astype(jnp.float32)
+            else:
+                row8 = (jax.lax.broadcasted_iota(jnp.int32, (8, WP), 1)
+                        & 255).astype(jnp.float32)
+
+            r = jnp.concatenate([row8, row8[:, :OWP - WP]], axis=1)
+            x = jnp.broadcast_to(r[None], (TH // 8, 8, OWP)).reshape(TH, OWP)
+            for _ in range(m):
+                x = x * np.float32(1.000001) + np.float32(0.5)
+            q8 = jnp.round(jnp.clip(x, 0.0, 255.0)).astype(jnp.int32)
+            packed = (q8 + jax.lax.shift_left(q8, 8)
+                      + jnp.int32(-16777216)).astype(jnp.uint32)
+            out_ref[0] = packed[:th_out]
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(B, GY),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, th_out, OWP), lambda b, i: (b, i, 0)),
+            scratch_shapes=[pltpu.VMEM((2, IH, WP), jnp.uint32),
+                            pltpu.SemaphoreType.DMA((2,))],
+        )
+        call = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((B, GY * th_out, OWP), jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024))
+        return jax.jit(call)
+
+    in_mb = TOTAL * IH * WP * 4 / 1e6
+    out_mb = TOTAL * TH * OWP * 4 / 1e6
+    print(f"traffic: in {in_mb:.0f} MB, out {out_mb:.0f} MB "
+          f"(x{TOTAL} bands)", flush=True)
+    rows = {}
+    for m in (0, 5, 10, 20, 40, 80):
+        t_full = bench(make(m))
+        t_nodma = bench(make(m, dma_in=False))
+        t_small = bench(make(m, th_out=8))
+        rows[m] = (t_full, t_nodma, t_small)
+        print(f"M={m:3d}  full {t_full:7.3f}  nodma {t_nodma:7.3f} "
+              f"(dma-cost {t_full - t_nodma:+6.3f})  smallstore "
+              f"{t_small:7.3f} (store-cost {t_full - t_small:+6.3f})",
+              flush=True)
+    d0 = rows[0][0] - rows[0][1]
+    dN = rows[80][0] - rows[80][1]
+    print(f"input-DMA serialization: {d0:.3f} ms at M=0 -> {dN:.3f} ms at "
+          f"M=80 ({'HIDDEN behind compute' if dN < 0.5 * d0 else 'NOT hidden'})",
+          flush=True)
+    s0 = rows[0][0] - rows[0][2]
+    sN = rows[80][0] - rows[80][2]
+    print(f"store serialization:     {s0:.3f} ms at M=0 -> {sN:.3f} ms at "
+          f"M=80 ({'HIDDEN behind compute' if sN < 0.5 * s0 else 'NOT hidden'})",
+          flush=True)
 
 
 # ===== v3 ====================================================================
@@ -651,7 +779,8 @@ def main_calibrate():
 
 
 MAINS = {"infra": main_infra, "v3": main_v3, "lanes": main_lanes,
-         "launch": main_launch, "calibrate": main_calibrate}
+         "launch": main_launch, "calibrate": main_calibrate,
+         "overlap": main_overlap}
 
 if __name__ == "__main__":
     if len(sys.argv) < 2 or sys.argv[1] not in MAINS:
