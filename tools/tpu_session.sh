@@ -18,3 +18,5 @@ python tools/stream_bench.py --seconds 20 --device-resident \
 python tools/stream_bench.py --seconds 20 \
                                   2>&1 | tee /tmp/tpu_session/stream_e2e.log
 python tools/microbench.py calibrate 2>&1 | tee /tmp/tpu_session/cal.log
+python tools/microbench.py overlap   2>&1 | tee /tmp/tpu_session/overlap.log
+python tools/bench_8k.py             2>&1 | tee /tmp/tpu_session/bench_8k.log
