@@ -50,9 +50,6 @@ class NisDebugKnobs:
 F32 = np.float32
 
 
-def _round_up(x, m):
-    return -(-int(x) // m) * m
-
 
 def _get_y(r, g, b, hdr_mode):
     """getY (NIS_Scaler.h:160-169) on decoded [0,1] planes: SDR BT.709,
