@@ -7,7 +7,9 @@ PostProcessor.cpp:530-535, 586-594) at the headline geometry and writes
 `BENCH_PATHS_r03.json` so perf claims for the non-flagship paths live in an
 artifact rather than README prose (round-2 verdict items 3/4/7):
 
-  fsr_fused    EASU+RCAS,  1683x1869 -> 2244x2492 (rs 0.75)
+  fsr_fused        EASU+RCAS,  1683x1869 -> 2244x2492 (rs 0.75)
+  fsr_supersample  EASU+RCAS,  2244x2492 -> 2917x3239 (rs 1.3,
+                   BASELINE.json config 3)
   rcas_only    rs = 1 sharpen-only at 2244x2492
   nvscaler     NIS upscale, same geometry as fsr_fused
   nvsharpen    NIS rs = 1 sharpen-only at 2244x2492
@@ -38,6 +40,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PATHS = {
     # name: (config kwargs, input (w, h))
     "fsr_fused": (dict(render_scale=0.75), (1683, 1869)),
+    "fsr_supersample": (dict(render_scale=1.3), (2244, 2492)),
     "rcas_only": (dict(render_scale=1.0), (2244, 2492)),
     "nvscaler": (dict(render_scale=0.75, use_nis=True), (1683, 1869)),
     "nvsharpen": (dict(render_scale=1.0, use_nis=True), (2244, 2492)),
