@@ -132,10 +132,23 @@ def _pad_cols(arrs, n, n_pad):
             if n_pad > n else a for a in arrs]
 
 
+def fsr_band_layout(out_w, out_h, band_rows=128, chunk=_CHUNK):
+    """(TH, GY): the fused kernel's band height (after the VMEM auto-shrink
+    for very wide frames) and band count — what a spatial-sharding caller
+    needs to pick `band_range` splits (parallel/spatial.py)."""
+    OH, OW = int(out_h), int(out_w)
+    OWP_EST = BD.round_up(OW, int(chunk))
+    band_rows = int(band_rows)
+    while band_rows > 32 and 10 * (band_rows + 2) * OWP_EST * 4 > 24 * 2**20:
+        band_rows //= 2
+    TH = OH if OH <= band_rows else band_rows
+    return TH, -(-OH // TH)
+
+
 def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     centres, color_bits=8, debug=False, band_rows=128,
                     chunk=_CHUNK, precision="full", interpret=False,
-                    knobs=None):
+                    knobs=None, band_range=None):
     """Build the fused stereo FSR kernel for a fixed shape/config.
 
     Args:
@@ -151,6 +164,12 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         elementwise math — the analog of the reference's packed-fp16
         FsrEasuH/FsrRcasHx2 fast path (ffx_fsr1.h:445-594, 874+).
       knobs: optional DebugKnobs with profiling-only ablations.
+      band_range: optional (g0, g1) — build a kernel for output row bands
+        [g0, g1) of the FULL image only (spatial sharding: every index map
+        and foveation circle is computed globally, then sliced). The
+        returned fn consumes the input row strip
+        [fn.in_row_base, fn.in_row_base + fn.in_rows) and produces output
+        rows [g0*band, min(g1*band, out_h)); see parallel/spatial.py.
 
     Returns fn(img):
       8-bit: img is (B, in_h, in_w) uint32 (bitcast RGBA8 — zero-copy from
@@ -175,14 +194,11 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
-    # Auto-shrink the band for very wide frames (8K): the band scratches
-    # scale with band_rows * padded-out-width, and VMEM is 128 MB on v5e.
-    OWP_EST = BD.round_up(OW, int(chunk))
-    while band_rows > 32 and 10 * (int(band_rows) + 2) * OWP_EST * 4 > 24 * 2**20:
-        band_rows = int(band_rows) // 2
-    TH = OH if OH <= int(band_rows) else int(band_rows)
+    # Band height after the VMEM auto-shrink for very wide frames (8K): the
+    # band scratches scale with band_rows * padded-out-width, and VMEM is
+    # 128 MB on v5e.
+    TH, GY = fsr_band_layout(OW, OH, band_rows, chunk)
     TH_E = TH + 2
-    GY = -(-OH // TH)
     CHUNK = int(chunk)
     NCHUNK = -(-OW // CHUNK)
     OWP = NCHUNK * CHUNK
@@ -364,6 +380,29 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         blocks += [np.clip(bx0_p[cs], 0, W - 1) - cw0[k],
                    np.clip(bx0_p[cs] + 1, 0, W - 1) - cw0[k]]
         sstack[k] = (iota_kc_np == np.concatenate(blocks)[None, :])
+
+    # --- spatial strip slicing (band_range) ----------------------------------
+    # Every map above was computed for the FULL image, so a strip build is
+    # pure slicing along the band axis: rebased DMA origins, strip-local
+    # grid/out rows, re-flattened per-step class tables. base/in_rows stay
+    # ROW_ALIGN-aligned because row_windows aligns all origins.
+    in_row_base, in_rows = 0, H
+    if band_range is not None:
+        g0, g1 = int(band_range[0]), int(band_range[1])
+        assert 0 <= g0 < g1 <= GY, (g0, g1, GY)
+        in_row_base = int(oy_all[g0:g1].min())
+        in_rows = int((oy_all[g0:g1] + IH).max()) - in_row_base
+        oy_all = oy_all[g0:g1] - in_row_base
+        rstack = rstack[g0:g1]
+        mstate = mstate[:, g0:g1]
+        ppy_e, fby_e = ppy_e[g0:g1], fby_e[g0:g1]
+        dymasks = dymasks[g0:g1]
+        cls_flat = np.asarray(cls_flat).reshape(B, GY, NCHUNK)[:, g0:g1]\
+            .reshape(-1)
+        band_cls = np.asarray(band_cls).reshape(B, GY)[:, g0:g1].reshape(-1)
+        OH = OH - g0 * TH if g1 == GY else (g1 - g0) * TH
+        GY = g1 - g0
+        TOTAL = B * GY
 
     def _mm(a, b):
         return jax.lax.dot_general(
@@ -748,7 +787,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         + onehots + [jnp.asarray(a) for a in rowmaps + colmaps] \
         + [jnp.asarray(dymasks), jnp.asarray(cmasks)]
 
-    return BD.make_io_fn(
+    io_h, io_hp = (H, HP) if band_range is None else (in_rows, in_rows)
+    fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
-        H, W, HP, WP, packed_io)
+        io_h, W, io_hp, WP, packed_io)
+    if band_range is not None:
+        fn.band_range = (int(band_range[0]), int(band_range[1]))
+        fn.in_row_base = in_row_base   # first global input row of the strip
+        fn.in_rows = in_rows           # strip height incl. DMA halo/align
+        fn.out_rows = OH               # strip output rows
+    return fn

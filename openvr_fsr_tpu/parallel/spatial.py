@@ -1,0 +1,106 @@
+"""Spatial (row-strip) sharding — single-frame latency scaling.
+
+`sharding.ShardedPipeline` scales THROUGHPUT by putting whole frames on
+different chips; this module scales the LATENCY of one stereo pair by
+splitting the fused FSR kernel's output row bands across devices. It goes
+beyond the reference (single-GPU, SURVEY.md §2's parallelism inventory) and
+beyond batch DP: the per-band index maps, foveation circles and derived-rows
+structures are computed for the FULL image and sliced per shard
+(kernels/fsr.build_fsr_fused(band_range=...)), so every shard runs the
+same program family on its strip and the concatenated strips are
+BIT-IDENTICAL to the single-device kernel (tests/test_spatial.py).
+
+No collectives in the hot path: EASU/bilinear read at most a few input rows
+beyond a band, so shards take overlapping input strips at distribution time
+(halo-by-overlap, the standard trick for stencil spatial decomposition —
+ICI/DCN only carries the initial strip scatter and the output gather).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core import constants as C
+from ..core.projection import default_centers
+from ..kernels import _band as BD
+from ..kernels.fsr import build_fsr_fused, fsr_band_layout
+
+__all__ = ["SpatialFsrPipeline", "split_bands"]
+
+
+def split_bands(gy, n):
+    """Contiguous band ranges covering [0, gy) as evenly as possible."""
+    n = max(1, min(int(n), gy))
+    bounds = np.linspace(0, gy, n + 1).round().astype(int)
+    return [(int(bounds[i]), int(bounds[i + 1])) for i in range(n)]
+
+
+class SpatialFsrPipeline:
+    """Latency-sharded fused FSR (EASU+RCAS) over explicit devices.
+
+    config: core.config.Config with render_scale < 1 (the flagship FSR
+    path; other modes scale via batch DP in sharding.ShardedPipeline).
+    devices: list of jax devices (default: all). Frames are (B, H, W)
+    uint32 packed RGBA8 or (B, H, W, 4) uint8; single-eye-per-frame
+    layout with `eyes` like Pipeline.process.
+    """
+
+    def __init__(self, config, eye_centers=None, devices=None,
+                 band_rows=128, interpret=False):
+        assert config.enabled and not config.use_nis and not config.use_cas
+        assert config.render_scale < 1.0, "spatial sharding targets the " \
+            "fused upscale path (rs < 1)"
+        self.config = config
+        self.eye_centers = eye_centers or default_centers()
+        self.devices = list(devices) if devices is not None else jax.devices()
+        self.band_rows = int(band_rows)
+        self.interpret = interpret   # CPU-mesh testing of the Pallas strips
+        self._cache = {}
+
+    def _centres_array(self, out_w, out_h, eyes):
+        pl_, pr_ = self.eye_centers
+        per_eye = {}
+        for e in set(eyes):
+            fc = C.foveation_constants(out_w, out_h, self.config.radius,
+                                       pl_, pr_, True, e)
+            per_eye[e] = [*fc.centre_left, *fc.centre_right, fc.radius_sq]
+        return np.asarray([per_eye[e] for e in eyes], np.int64)
+
+    def _build(self, b, h, w, eyes):
+        cfg = self.config
+        ow, oh = cfg.output_size(w, h)
+        th, gy = fsr_band_layout(ow, oh, self.band_rows)
+        ranges = split_bands(gy, len(self.devices))
+        centres = self._centres_array(ow, oh, eyes)
+        shards = []
+        for (g0, g1), dev in zip(ranges, self.devices):
+            fn = build_fsr_fused(
+                b, h, w, ow, oh, sharpness=cfg.sharpness, centres=centres,
+                color_bits=8, debug=cfg.debug_mode,
+                band_rows=self.band_rows, band_range=(g0, g1),
+                interpret=self.interpret)
+            shards.append((jax.jit(fn), fn.in_row_base, fn.in_rows,
+                           fn.out_rows, dev))
+        return shards, BD.input_padding(h, w), (oh, ow)
+
+    def process(self, frames, eyes=(0, 1)):
+        """Returns (B, OH, OW) uint32 packed RGBA8 (the serving format)."""
+        frames = np.asarray(frames)
+        if frames.dtype == np.uint8:         # NHWC -> packed u32 plane
+            frames = np.ascontiguousarray(frames).view(np.uint32)[..., 0]
+        b, h, w = frames.shape
+        key = (b, h, w, tuple(eyes))
+        if key not in self._cache:
+            self._cache[key] = self._build(b, h, w, eyes)
+        shards, (hp, wp), (oh, ow) = self._cache[key]
+
+        pad = np.pad(frames, ((0, 0), (0, hp - h), (0, wp - w)))
+        outs = []
+        for jfn, base, rows, out_rows, dev in shards:
+            strip = jax.device_put(
+                np.ascontiguousarray(pad[:, base:base + rows]), dev)
+            outs.append((jfn(strip), out_rows))
+        # async dispatch above; gather strips (B, out_rows, OW) in order
+        return np.concatenate(
+            [np.asarray(o)[:, :r] for o, r in outs], axis=1)
