@@ -39,8 +39,9 @@ def split_bands(gy, n):
 class SpatialFsrPipeline:
     """Latency-sharded fused FSR (EASU+RCAS) over explicit devices.
 
-    config: core.config.Config with render_scale < 1 (the flagship FSR
-    path; other modes scale via batch DP in sharding.ShardedPipeline).
+    config: core.config.Config with render_scale != 1 — the fused
+    EASU+RCAS path (rs < 1 upscale or rs > 1 supersample; other modes
+    scale via batch DP in sharding.ShardedPipeline).
     devices: list of jax devices (default: all). Frames are (B, H, W)
     uint32 packed RGBA8 or (B, H, W, 4) uint8; single-eye-per-frame
     layout with `eyes` like Pipeline.process.
@@ -49,8 +50,8 @@ class SpatialFsrPipeline:
     def __init__(self, config, eye_centers=None, devices=None,
                  band_rows=128, interpret=False):
         assert config.enabled and not config.use_nis and not config.use_cas
-        assert config.render_scale < 1.0, "spatial sharding targets the " \
-            "fused upscale path (rs < 1)"
+        assert config.render_scale != 1.0, "spatial sharding targets the " \
+            "fused EASU+RCAS path (rs < 1 upscale, rs > 1 supersample)"
         self.config = config
         self.eye_centers = eye_centers or default_centers()
         self.devices = list(devices) if devices is not None else jax.devices()

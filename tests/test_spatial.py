@@ -100,6 +100,25 @@ class TestSpatialPipeline:
                    - want.view(np.uint8).astype(np.int16))
         assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
+    def test_supersample_path(self):
+        # rs > 1 runs the same fused builder (PostProcessor truth table:
+        # upscale iff rs != 1); strips apply unchanged
+        cfg = Config(enabled=True, render_scale=1.3, sharpness=0.9,
+                     radius=2.0)
+        h, w = 60, 45
+        fr = np.ascontiguousarray(
+            FR.zone_plate_frame(h, w)).view(np.uint32)[..., 0]
+        sp = SpatialFsrPipeline(cfg, band_rows=32, interpret=True)
+        got = sp.process(fr[None], eyes=(0,))
+        ow, oh = cfg.output_size(w, h)
+        want = np.asarray(build_fsr_fused(
+            1, h, w, ow, oh, centres=sp._centres_array(ow, oh, (0,)),
+            sharpness=0.9, band_rows=32, interpret=True)(fr[None]))
+        d = np.abs(got.view(np.uint8).astype(np.int16)
+                   - want.view(np.uint8).astype(np.int16))
+        assert got.shape == (1, oh, ow)
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
     def test_uint8_frames_accepted(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
                      radius=2.0)
