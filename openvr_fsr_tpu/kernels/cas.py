@@ -53,24 +53,33 @@ CAS_USED_TAPS = tuple((dx, dy) for dy in (-1, 0, 1, 2)
 _CHUNK = 128
 
 
+def cas_band_layout(out_w, out_h, band_rows=128, chunk=_CHUNK):
+    """(TH, GY) after the CAS VMEM auto-shrink — cf. fsr.fsr_band_layout."""
+    OH, OW = int(out_h), int(out_w)
+    OWP_EST = BD.round_up(OW, int(chunk))
+    band_rows = int(band_rows)
+    while band_rows > 32 and 9 * band_rows * OWP_EST * 4 > 24 * 2**20:
+        band_rows //= 2
+    TH = OH if OH <= band_rows else band_rows
+    return TH, -(-OH // TH)
+
+
 def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
                       centres, color_bits=8, debug=False, band_rows=128,
                       chunk=_CHUNK, precision="full", interpret=False,
-                      no_derive=False):
+                      no_derive=False, band_range=None):
     """Build the CAS scaling kernel for a fixed shape/config.
 
     Args mirror kernels/fsr.build_fsr_fused; sharpness is the [0,1] CAS
     slider (CasSetup, ffx_cas.h:391). Returns fn(img) with the same packed
     u32 (8-bit) / planar f32 (10-bit) IO contract. no_derive forces the
     4-block row-gather matmul prologue (A/B of the derived-rows variant).
+    band_range=(g0, g1) builds a spatial strip kernel exactly like
+    fsr.build_fsr_fused(band_range=...) — global maps, sliced per band.
     """
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
-    OWP_EST = BD.round_up(OW, int(chunk))
-    while band_rows > 32 and 9 * (int(band_rows)) * OWP_EST * 4 > 24 * 2**20:
-        band_rows = int(band_rows) // 2
-    TH = OH if OH <= int(band_rows) else int(band_rows)
-    GY = -(-OH // TH)
+    TH, GY = cas_band_layout(OW, OH, band_rows, chunk)
     CHUNK = int(chunk)
     NCHUNK = -(-OW // CHUNK)
     OWP = NCHUNK * CHUNK
@@ -219,6 +228,25 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
             blocks.append((iota_kc == (b0 - cw0[k])[None, :]
                            ).astype(np.float32))
         sstack[k] = np.concatenate(blocks, axis=1)
+
+    # spatial strip slicing — mirror of kernels/fsr.py (band_range)
+    in_row_base, in_rows = 0, H
+    if band_range is not None:
+        g0, g1 = int(band_range[0]), int(band_range[1])
+        assert 0 <= g0 < g1 <= GY, (g0, g1, GY)
+        in_row_base = int(oy_all[g0:g1].min())
+        in_rows = int((oy_all[g0:g1] + IH).max()) - in_row_base
+        oy_all = oy_all[g0:g1] - in_row_base
+        rstack = rstack[g0:g1]
+        mstate = mstate[:, g0:g1]
+        ppy_e, fby_e = ppy_e[g0:g1], fby_e[g0:g1]
+        dymasks = dymasks[g0:g1]
+        cls_flat = np.asarray(cls_flat).reshape(B, GY, NCHUNK)[:, g0:g1]\
+            .reshape(-1)
+        band_cls = np.asarray(band_cls).reshape(B, GY)[:, g0:g1].reshape(-1)
+        OH = OH - g0 * TH if g1 == GY else (g1 - g0) * TH
+        GY = g1 - g0
+        TOTAL = B * GY
 
     _mm, _mm2 = BD.mm_fns(pol)
     dyi = {dy: j for j, dy in enumerate(_DYS)}
@@ -371,11 +399,17 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
         + [jnp.asarray(a) for a in rowmaps + colmaps] \
         + [jnp.asarray(dymasks)]
 
+    io_h, io_hp = (H, HP) if band_range is None else (in_rows, in_rows)
     fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
-        H, W, HP, WP, pol.packed_io)
+        io_h, W, io_hp, WP, pol.packed_io)
     fn.derived_rows = derive_ok   # lets tests pin the prologue actually taken
+    if band_range is not None:
+        fn.band_range = (int(band_range[0]), int(band_range[1]))
+        fn.in_row_base = in_row_base
+        fn.in_rows = in_rows
+        fn.out_rows = OH
     return fn
 
 

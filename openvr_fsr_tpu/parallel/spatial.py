@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ..core import constants as C
 from ..core.projection import default_centers
 from ..kernels import _band as BD
+from ..kernels.cas import build_cas_upscale, cas_band_layout
 from ..kernels.fsr import build_fsr_fused, fsr_band_layout
 
 __all__ = ["SpatialFsrPipeline", "split_bands"]
@@ -40,8 +41,9 @@ class SpatialFsrPipeline:
     """Latency-sharded fused FSR (EASU+RCAS) over explicit devices.
 
     config: core.config.Config with render_scale != 1 — the fused
-    EASU+RCAS path (rs < 1 upscale or rs > 1 supersample; other modes
-    scale via batch DP in sharding.ShardedPipeline).
+    EASU+RCAS path (rs < 1 upscale or rs > 1 supersample) or the CAS
+    scaling path (use_cas, rs < 1); other modes scale via batch DP in
+    sharding.ShardedPipeline.
     devices: list of jax devices (default: all). Frames are (B, H, W)
     uint32 packed RGBA8 or (B, H, W, 4) uint8; single-eye-per-frame
     layout with `eyes` like Pipeline.process.
@@ -49,9 +51,11 @@ class SpatialFsrPipeline:
 
     def __init__(self, config, eye_centers=None, devices=None,
                  band_rows=128, interpret=False):
-        assert config.enabled and not config.use_nis and not config.use_cas
-        assert config.render_scale != 1.0, "spatial sharding targets the " \
-            "fused EASU+RCAS path (rs < 1 upscale, rs > 1 supersample)"
+        assert config.enabled and not config.use_nis
+        assert config.render_scale != 1.0 and (
+            not config.use_cas or config.render_scale < 1.0), \
+            "spatial sharding targets the scaling kernels (fused " \
+            "EASU+RCAS rs != 1, or CAS upscale rs < 1)"
         self.config = config
         self.eye_centers = eye_centers or default_centers()
         self.devices = list(devices) if devices is not None else jax.devices()
@@ -71,12 +75,14 @@ class SpatialFsrPipeline:
     def _build(self, b, h, w, eyes):
         cfg = self.config
         ow, oh = cfg.output_size(w, h)
-        th, gy = fsr_band_layout(ow, oh, self.band_rows)
+        layout = cas_band_layout if cfg.use_cas else fsr_band_layout
+        builder = build_cas_upscale if cfg.use_cas else build_fsr_fused
+        th, gy = layout(ow, oh, self.band_rows)
         ranges = split_bands(gy, len(self.devices))
         centres = self._centres_array(ow, oh, eyes)
         shards = []
         for (g0, g1), dev in zip(ranges, self.devices):
-            fn = build_fsr_fused(
+            fn = builder(
                 b, h, w, ow, oh, sharpness=cfg.sharpness, centres=centres,
                 color_bits=8, debug=cfg.debug_mode,
                 band_rows=self.band_rows, band_range=(g0, g1),

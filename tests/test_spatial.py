@@ -119,6 +119,28 @@ class TestSpatialPipeline:
         assert got.shape == (1, oh, ow)
         assert d.max() <= 1 and (d > 0).mean() < 1e-3
 
+    def test_cas_strips_match_full(self):
+        # the CAS scaling kernel shares the band_range machinery; strips
+        # are bitwise slices of the full kernel (same-geometry check as
+        # TestStripBuilds but through the pipeline + CAS builder)
+        from openvr_fsr_tpu.kernels.cas import build_cas_upscale
+
+        cfg = Config(enabled=True, use_cas=True, render_scale=0.75,
+                     sharpness=0.8, radius=0.5)
+        h, w = 90, 70
+        fr = np.ascontiguousarray(
+            FR.noise_frame(h, w, seed=5)).view(np.uint32)[..., 0]
+        sp = SpatialFsrPipeline(cfg, band_rows=32, interpret=True)
+        got = sp.process(fr[None], eyes=(0,))
+        ow, oh = cfg.output_size(w, h)
+        want = np.asarray(build_cas_upscale(
+            1, h, w, ow, oh, centres=sp._centres_array(ow, oh, (0,)),
+            sharpness=0.8, band_rows=32, interpret=True)(fr[None]))
+        d = np.abs(got.view(np.uint8).astype(np.int16)
+                   - want.view(np.uint8).astype(np.int16))
+        assert got.shape == (1, oh, ow)
+        assert d.max() <= 1 and (d > 0).mean() < 1e-3
+
     def test_uint8_frames_accepted(self):
         cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
                      radius=2.0)
