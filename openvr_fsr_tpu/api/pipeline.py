@@ -170,22 +170,11 @@ class Pipeline:
         return np.stack(masks)
 
     def _centres_array(self, out_w, out_h, eyes):
-        """Per-batch-entry (cx1, cy1, cx2, cy2, radius_sq) i64 rows — the
-        imageCentre/radius cbuffer payload (PostProcessor.cpp:298-305)."""
-        pl_, pr_ = self.eye_centers
-        rows = []
-        if self.single_eye_per_frame:
-            per_eye = {}
-            for e in set(eyes):
-                fc = C.foveation_constants(out_w, out_h, self.config.radius,
-                                           pl_, pr_, True, e)
-                per_eye[e] = [*fc.centre_left, *fc.centre_right, fc.radius_sq]
-            rows = [per_eye[e] for e in eyes]
-        else:
-            fc = C.foveation_constants(out_w, out_h, self.config.radius,
-                                       pl_, pr_, False)
-            rows = [[*fc.centre_left, *fc.centre_right, fc.radius_sq]] * len(eyes)
-        return np.asarray(rows, np.int64)
+        """Per-batch-entry imageCentre/radius cbuffer rows
+        (core.constants.centres_payload, PostProcessor.cpp:298-305)."""
+        return C.centres_payload(out_w, out_h, self.config.radius,
+                                 self.eye_centers, eyes,
+                                 self.single_eye_per_frame)
 
     def _build_fsr_fused(self, b, h, w, eyes, interpret):
         """Fused Pallas EASU+RCAS path (kernels/fsr.py) — one launch for the
@@ -354,6 +343,19 @@ class Pipeline:
         return _jit_io(run)
 
     def _build(self, b, h, w, eyes):
+        fn = self._build_impl(b, h, w, eyes)
+        if getattr(fn, "pad_to", None) is None:
+            # Non-Pallas builds (XLA fallback, 10-bit planar) still publish
+            # the serving pre-pad pitch so bench/ring tools don't crash on
+            # CPU hosts. Only the Pallas kernels treat pre-padded frames
+            # natively; the XLA fallback processes pad rows as pixels
+            # (bench-fallback behavior, unchanged from the hand-computed
+            # pitch these tools used before fn.pad_to existed).
+            from ..kernels import _band as _bd
+            fn.pad_to = _bd.input_padding(h, w)
+        return fn
+
+    def _build_impl(self, b, h, w, eyes):
         cfg = self.config
         if cfg.use_nis and cfg.use_cas:
             raise ValueError("use_nis and use_cas are mutually exclusive")

@@ -138,6 +138,26 @@ def foveation_constants(out_w, out_h, radius, proj_left, proj_right,
     return FoveationConstants(cl, cr, radius_sq, ow, oh)
 
 
+def centres_payload(out_w, out_h, radius, eye_centers, eyes,
+                    single_eye_per_frame=True):
+    """Per-batch-entry (cx1, cy1, cx2, cy2, radius_sq) int64 rows — the
+    imageCentre/radius cbuffer payload the kernel builders take
+    (PostProcessor.cpp:298-305). eye_centers: ((lx,ly),(rx,ry)); eyes: one
+    eye id per batch entry (ignored beyond len() when double-wide)."""
+    pl_, pr_ = eye_centers
+    if single_eye_per_frame:
+        per_eye = {}
+        for e in set(eyes):
+            fc = foveation_constants(out_w, out_h, radius, pl_, pr_, True, e)
+            per_eye[e] = [*fc.centre_left, *fc.centre_right, fc.radius_sq]
+        rows = [per_eye[e] for e in eyes]
+    else:
+        fc = foveation_constants(out_w, out_h, radius, pl_, pr_, False)
+        rows = [[*fc.centre_left, *fc.centre_right,
+                 fc.radius_sq]] * len(eyes)
+    return np.asarray(rows, np.int64)
+
+
 # ----------------------------------------------------------------------------
 # NVIDIA Image Scaling config (NIS_Config.h:144-255)
 # ----------------------------------------------------------------------------

@@ -64,13 +64,8 @@ class SpatialFsrPipeline:
         self._cache = {}
 
     def _centres_array(self, out_w, out_h, eyes):
-        pl_, pr_ = self.eye_centers
-        per_eye = {}
-        for e in set(eyes):
-            fc = C.foveation_constants(out_w, out_h, self.config.radius,
-                                       pl_, pr_, True, e)
-            per_eye[e] = [*fc.centre_left, *fc.centre_right, fc.radius_sq]
-        return np.asarray([per_eye[e] for e in eyes], np.int64)
+        return C.centres_payload(out_w, out_h, self.config.radius,
+                                 self.eye_centers, eyes)
 
     def _build(self, b, h, w, eyes):
         cfg = self.config
@@ -91,12 +86,16 @@ class SpatialFsrPipeline:
                            fn.out_rows, dev))
         return shards, BD.input_padding(h, w), (oh, ow)
 
-    def process(self, frames, eyes=(0, 1)):
-        """Returns (B, OH, OW) uint32 packed RGBA8 (the serving format)."""
+    def process(self, frames, eyes=None):
+        """Returns (B, OH, OW) uint32 packed RGBA8 (the serving format).
+        eyes defaults to alternating (0, 1, 0, ...) like Pipeline.process."""
         frames = np.asarray(frames)
         if frames.dtype == np.uint8:         # NHWC -> packed u32 plane
             frames = np.ascontiguousarray(frames).view(np.uint32)[..., 0]
         b, h, w = frames.shape
+        if eyes is None:
+            eyes = tuple(i % 2 for i in range(b))
+        assert len(eyes) == b, (len(eyes), b)
         key = (b, h, w, tuple(eyes))
         if key not in self._cache:
             self._cache[key] = self._build(b, h, w, eyes)

@@ -91,15 +91,20 @@ def main():
         ow, oh = pipe.output_size(w, h)
         t0 = time.time()
         fn = pipe._build(2, h, w, (0, 1))
+        build_s = time.time() - t0
         inputs = [
             ring_frame(np.stack([FR.zone_plate_frame(h, w),
                                  FR.noise_frame(h, w, seed=1)]), fn),
             ring_frame(rng.integers(0, 256, (2, h, w, 4)).astype(np.uint8),
                        fn),
         ]
+        # compile_s = host build + first-call compile; frame synthesis and
+        # the ~45 MB uploads are excluded (the tunnel's upload rate swings
+        # ~70x between sessions and would pollute the artifact)
+        t0 = time.time()
         y = fn(inputs[0])
         _ = np.asarray(y[0, 0, 0])
-        compile_s = time.time() - t0
+        compile_s = build_s + (time.time() - t0)
 
         def run(iters):
             t0 = time.perf_counter()

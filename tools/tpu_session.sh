@@ -4,19 +4,34 @@
 # /tmp/tpu_session/. Prime the oracle cache first (CPU, no device needed):
 #   JAX_PLATFORMS=cpu python tools/parity_r03.py --oracle-only
 # NVScaler steps compile for minutes; total session ~20-40 min.
+# Exits non-zero with a count of failed steps (plain sh has no pipefail,
+# so each step's status is captured before the log tail).
 
-set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_session
+fails=0
 
-python bench.py                   2>&1 | tee /tmp/tpu_session/bench.log
-python tools/ab_cas.py            2>&1 | tee /tmp/tpu_session/ab_cas.log
-python tools/bench_paths.py       2>&1 | tee /tmp/tpu_session/bench_paths.log
-python tools/parity_r03.py        2>&1 | tee /tmp/tpu_session/parity.log
-python tools/stream_bench.py --seconds 20 --device-resident \
-                                  2>&1 | tee /tmp/tpu_session/stream_dev.log
-python tools/stream_bench.py --seconds 20 \
-                                  2>&1 | tee /tmp/tpu_session/stream_e2e.log
-python tools/microbench.py calibrate 2>&1 | tee /tmp/tpu_session/cal.log
-python tools/microbench.py overlap   2>&1 | tee /tmp/tpu_session/overlap.log
-python tools/bench_8k.py             2>&1 | tee /tmp/tpu_session/bench_8k.log
+step() {
+    name=$1; shift
+    echo "== $name: $*"
+    "$@" > "/tmp/tpu_session/$name.log" 2>&1
+    rc=$?
+    tail -20 "/tmp/tpu_session/$name.log"
+    if [ $rc -ne 0 ]; then
+        echo "== $name FAILED (rc=$rc)"
+        fails=$((fails + 1))
+    fi
+}
+
+step bench        python bench.py
+step ab_cas       python tools/ab_cas.py
+step bench_paths  python tools/bench_paths.py
+step parity       python tools/parity_r03.py
+step stream_dev   python tools/stream_bench.py --seconds 20 --device-resident
+step stream_e2e   python tools/stream_bench.py --seconds 20
+step calibrate    python tools/microbench.py calibrate
+step overlap      python tools/microbench.py overlap
+step bench_8k     python tools/bench_8k.py
+
+echo "== done: $fails step(s) failed"
+exit $fails
