@@ -153,6 +153,15 @@ def main():
         print("oracle cache primed:", CACHE)
         return
 
+    # Merge with the existing artifact so a --skip-nis run refreshes the
+    # FSR/CAS entries without dropping the NVScaler ones.
+    art = os.path.join(ROOT, "PARITY_r03.json")
+    if skip_nis and os.path.exists(art):
+        with open(art) as f:
+            prev = json.load(f).get("results", {})
+        for k, v in prev.items():
+            results.setdefault(k, v)
+
     import jax as j
     out = {
         "hardware": str(j.devices()[0]),
@@ -164,8 +173,7 @@ def main():
         "results": results,
         "all_max_lsb": max(r["max_lsb"] for r in results.values()),
     }
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "PARITY_r03.json"), "w") as f:
+    with open(art, "w") as f:
         json.dump(out, f, indent=1)
     print("PARITY_r03.json written:",
           {k: v["max_lsb"] for k, v in results.items()})

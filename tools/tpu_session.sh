@@ -4,8 +4,10 @@
 # /tmp/tpu_session/. Prime the oracle cache first (CPU, no device needed):
 #   JAX_PLATFORMS=cpu python tools/parity_r03.py --oracle-only
 # NVScaler steps compile for minutes; total session ~20-40 min.
-# Exits non-zero with a count of failed steps (plain sh has no pipefail,
-# so each step's status is captured before the log tail).
+# `sh tools/tpu_session.sh quick` runs a <15-min priority subset (skips
+# everything that compiles NVScaler). Exits non-zero with a count of
+# failed steps (plain sh has no pipefail, so each step's status is
+# captured before the log tail).
 
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_session
@@ -23,15 +25,25 @@ step() {
     fi
 }
 
-step bench        python bench.py
-step ab_cas       python tools/ab_cas.py
-step bench_paths  python tools/bench_paths.py
-step parity       python tools/parity_r03.py
-step stream_dev   python tools/stream_bench.py --seconds 20 --device-resident
-step stream_e2e   python tools/stream_bench.py --seconds 20
-step calibrate    python tools/microbench.py calibrate
-step overlap      python tools/microbench.py overlap
-step bench_8k     python tools/bench_8k.py
+if [ "$1" = "quick" ]; then
+    step bench        python bench.py
+    step ab_cas       python tools/ab_cas.py
+    step bench_paths  python tools/bench_paths.py --paths \
+        fsr_fused,fsr_supersample,rcas_only,nvsharpen,cas_upscale,cas_sharpen
+    step parity       python tools/parity_r03.py --skip-nis
+    step overlap      python tools/microbench.py overlap
+    step stream_dev   python tools/stream_bench.py --seconds 15 --device-resident
+else
+    step bench        python bench.py
+    step ab_cas       python tools/ab_cas.py
+    step bench_paths  python tools/bench_paths.py
+    step parity       python tools/parity_r03.py
+    step stream_dev   python tools/stream_bench.py --seconds 20 --device-resident
+    step stream_e2e   python tools/stream_bench.py --seconds 20
+    step calibrate    python tools/microbench.py calibrate
+    step overlap      python tools/microbench.py overlap
+    step bench_8k     python tools/bench_8k.py
+fi
 
 echo "== done: $fails step(s) failed"
 exit $fails
