@@ -398,6 +398,17 @@ class TestPackedU32Api:
         d = np.abs(a.astype(int) - b.astype(int))
         assert (d == 0).mean() >= 0.99 and d.max() <= 16
 
+    def test_pad_to_published_on_every_backend(self):
+        # bench/ring tools call fn.pad_to unconditionally; every _build
+        # result must publish the serving pre-pad pitch (XLA fallback and
+        # 10-bit planar included)
+        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
+                     radius=0.5)
+        for kw in (dict(backend="xla"), dict(backend="pallas-interpret"),
+                   dict(backend="xla", color_bits=10)):
+            fn = Pipeline(cfg, **kw)._build(2, 20, 24, (0, 1))
+            assert fn.pad_to == (24, 128), (kw, fn.pad_to)
+
     def test_prepadded_ring_frames_match(self):
         """The device-ring serving format: packed-u32 frames pre-padded to
         fn.pad_to (the kernel's (sublane, lane) DMA pitch) must produce the
