@@ -11,6 +11,15 @@
 
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_session
+
+# Persistent XLA compilation cache: NVScaler compiles for minutes, and the
+# session runs it from several processes (bench_paths, parity, A/B tools).
+# The cache works on the axon tunnel backend (verified round 3); compiles
+# over the default 1 s threshold are paid once per kernel, not per step.
+JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
+export JAX_COMPILATION_CACHE_DIR
+mkdir -p "$JAX_COMPILATION_CACHE_DIR"
+
 fails=0
 
 step() {
