@@ -236,13 +236,21 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                jnp.asarray(rstack, mm_dtype)]
 
     def fn(img):
-        if packed_io:
+        if not packed_io:
+            img = img.astype(jnp.float32)
+        if img.shape[-2:] == (HP, WP):
+            # Caller pre-padded to fn.pad_to (the device-ring serving
+            # format). Its pad content is unspecified (the ring zero-pads),
+            # but the clamped column shifts read columns W..WP-1, so
+            # rebuild the edge-replicate columns in place.
+            if WP != W:
+                img = img.at[..., W:].set(img[..., W - 1:W])
+        elif packed_io:
             if WP != W:   # edge-replicate so column shifts clamp correctly
                 img = jnp.pad(img, ((0, 0), (0, 0), (0, WP - W)), mode="edge")
             if HP != H:
                 img = jnp.pad(img, ((0, 0), (0, HP - H), (0, 0)))
         else:
-            img = img.astype(jnp.float32)
             if WP != W:
                 img = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, WP - W)),
                               mode="edge")
@@ -250,6 +258,7 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                 img = jnp.pad(img, ((0, 0), (0, 0), (0, HP - H), (0, 0)))
         return call(statics[0], img, statics[1], statics[2])
 
+    fn.pad_to = (HP, WP)
     return fn
 
 

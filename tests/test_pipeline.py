@@ -409,18 +409,30 @@ class TestPackedU32Api:
             fn = Pipeline(cfg, **kw)._build(2, 20, 24, (0, 1))
             assert fn.pad_to == (24, 128), (kw, fn.pad_to)
 
-    def test_prepadded_ring_frames_match(self):
+    @pytest.mark.parametrize("mode_kw", [
+        dict(render_scale=0.75),                       # FSR fused
+        dict(render_scale=1.0),                        # RCAS sharpen-only
+        dict(render_scale=0.75, use_nis=True),         # NVScaler
+        dict(render_scale=1.0, use_nis=True),          # NVSharpen
+        dict(render_scale=0.75, use_cas=True),         # CAS upscale
+        dict(render_scale=1.0, use_cas=True),          # CAS sharpen
+    ], ids=["fsr", "rcas", "nvscaler", "nvsharpen", "cas_up", "cas_sh"])
+    def test_prepadded_ring_frames_match(self, mode_kw):
         """The device-ring serving format: packed-u32 frames pre-padded to
         fn.pad_to (the kernel's (sublane, lane) DMA pitch) must produce the
         same output as unpadded frames — tools/stream_bench.py and
-        tools/bench_paths.py feed this format directly."""
+        tools/bench_paths.py feed this format directly. Every pipeline
+        mode must accept it: round 3 found NVSharpen's wrapper re-padding
+        pre-padded frames (a Mosaic DMA shape mismatch on real TPU that
+        interpret mode never sees), and its clamped column shifts require
+        the pad columns to be edge-replicated, which a zero-padding ring
+        caller does not provide."""
         import jax
         backend = ("pallas" if jax.default_backend() == "tpu"
                    else "pallas-interpret")
         u8, u32 = self._frames()
         h, w = u8.shape[1:3]
-        cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9,
-                     radius=0.5)
+        cfg = Config(enabled=True, sharpness=0.9, radius=0.5, **mode_kw)
         pipe = Pipeline(cfg, backend=backend)
         fn = pipe._build(2, h, w, (0, 1))
         hp, wp = fn.pad_to   # the kernel's published (sublane, lane) pitch
