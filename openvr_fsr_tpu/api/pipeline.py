@@ -62,6 +62,7 @@ def _packed_run(kern):
         packed = jax.lax.bitcast_convert_type(x, jnp.uint32)
         return jax.lax.bitcast_convert_type(kern(packed), jnp.uint8)
     run.pad_to = getattr(kern, "pad_to", None)
+    run.dma_geometry = getattr(kern, "dma_geometry", None)
     return run
 
 
@@ -73,6 +74,9 @@ def _jit_io(run):
     pad_to = getattr(run, "pad_to", None)
     if pad_to is not None:
         jfn.pad_to = pad_to
+    geom = getattr(run, "dma_geometry", None)
+    if geom is not None:
+        jfn.dma_geometry = geom
     return jfn
 
 

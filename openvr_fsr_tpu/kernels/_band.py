@@ -235,10 +235,14 @@ def htaps_zero_oob(e, w_pad, w_live):
     return d_t, f_t
 
 
-def make_io_fn(call, h, w, hp, wp, packed_io):
+def make_io_fn(call, h, w, hp, wp, packed_io, geom=None):
     """The host-facing wrapper: pads the input to the (sublane, lane) HBM
     tiling unless the caller pre-padded to fn.pad_to (the device-ring
-    storage format), then invokes the pallas call."""
+    storage format), then invokes the pallas call.
+
+    geom: optional DMA-geometry dict (batch, gy, ih, th, out_h, out_w, oy)
+    published as fn.dma_geometry — kernels/sol.build_dma_floor consumes it
+    to build the kernel's memory speed-of-light probe."""
 
     def fn(img):
         if packed_io:
@@ -256,4 +260,6 @@ def make_io_fn(call, h, w, hp, wp, packed_io):
         return call(img)
 
     fn.pad_to = (hp, wp)
+    if geom is not None:
+        fn.dma_geometry = dict(geom, hp=hp, wp=wp, packed=packed_io)
     return fn

@@ -403,7 +403,9 @@ def build_cas_upscale(batch, in_h, in_w, out_w, out_h, *, sharpness,
     fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
-        io_h, W, io_hp, WP, pol.packed_io)
+        io_h, W, io_hp, WP, pol.packed_io,
+        geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=OH, out_w=OW,
+                  oy=np.asarray(oy_all)))
     fn.derived_rows = derive_ok   # lets tests pin the prologue actually taken
     if band_range is not None:
         fn.band_range = (int(band_range[0]), int(band_range[1]))
@@ -525,4 +527,6 @@ def build_cas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
     return BD.make_io_fn(
         lambda img: call(statics[0], img, statics[1], statics[2]),
-        H, W, HP, WP, pol.packed_io)
+        H, W, HP, WP, pol.packed_io,
+        geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=H, out_w=W,
+                  oy=np.asarray(oy_all)))

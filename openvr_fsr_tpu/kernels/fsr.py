@@ -791,7 +791,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
-        io_h, W, io_hp, WP, packed_io)
+        io_h, W, io_hp, WP, packed_io,
+        geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=OH, out_w=OW,
+                  oy=np.asarray(oy_all)))
     if band_range is not None:
         fn.band_range = (int(band_range[0]), int(band_range[1]))
         fn.in_row_base = in_row_base   # first global input row of the strip

@@ -259,6 +259,9 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
         return call(statics[0], img, statics[1], statics[2])
 
     fn.pad_to = (HP, WP)
+    fn.dma_geometry = dict(batch=B, gy=GY, ih=IH, th=TH, out_h=H, out_w=W,
+                           oy=np.asarray(oy_all), hp=HP, wp=WP,
+                           packed=packed_io)
     return fn
 
 
@@ -861,4 +864,6 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     return BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
-        H, W, HP, WP, packed_io)
+        H, W, HP, WP, packed_io,
+        geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=OH, out_w=OW,
+                  oy=np.asarray(oy_all)))

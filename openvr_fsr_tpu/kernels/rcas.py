@@ -152,4 +152,6 @@ def build_rcas_sharpen(batch, h, w, *, sharpness, centres, color_bits=8,
 
     return BD.make_io_fn(
         lambda img: call(statics[0], img, statics[1], statics[2]),
-        H, W, HP, WP, pol.packed_io)
+        H, W, HP, WP, pol.packed_io,
+        geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=H, out_w=W,
+                  oy=np.asarray(oy_all)))

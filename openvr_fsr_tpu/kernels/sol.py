@@ -1,0 +1,102 @@
+"""Memory speed-of-light (DMA-floor) probe for the band-pipeline kernels.
+
+Round 3 stamped every published kernel time with a "memory speed-of-light"
+derived from XLA reduce/fill bandwidth probes (utils.timing.hbm_calibration).
+The fused FSR kernel *beat* that yardstick by 5-17% — impossible against a
+true bound — so the probes underestimate achievable bandwidth and the
+saturation claim was unfalsifiable.
+
+This module is the honest yardstick. `build_dma_floor` consumes the DMA
+geometry a compute kernel publishes (`fn.dma_geometry`) and builds a Pallas
+kernel with the *identical outer machine* — the same (batch, row_band)
+grid, the same per-band input row windows DMA'd HBM->VMEM through the same
+double-buffered ring (kernels/_band.py dma_wait_slot), and the same
+packed-u32 output band stores — but **no compute at all**: each band writes
+a scalar read from the freshly-DMA'd input (so the store depends on the
+load and nothing can be elided). Its wall time is the time this chip's
+memory system needs to move the kernel's exact input/output traffic with
+perfect overlap; it is a *lower bound* on any kernel with that traffic,
+so `vs_sol = floor / kernel_time <= 1` by construction when both are
+measured in the same session with the same methodology.
+
+Reference analog: the debug-mode GPU timestamp ring around the two compute
+dispatches (src/postprocess/PostProcessor.cpp:601-628) is the reference's
+measurement mechanism; this probe adds the bound that mechanism lacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import _band as BD
+
+__all__ = ["build_dma_floor"]
+
+
+def build_dma_floor(geom, interpret=False):
+    """Build the DMA-floor probe for one compute kernel's published geometry.
+
+    geom: the `fn.dma_geometry` dict a kernel builder attaches via
+      kernels/_band.make_io_fn — keys: batch, gy (row bands), ih (DMA window
+      rows), hp/wp (padded input plane), th (output band rows), out_h,
+      out_w, oy ((gy,) int32 per-band aligned DMA row origins), packed
+      (True = u32 RGBA8 IO; planar f32 paths publish packed=False and are
+      not probed — all serving paths are packed).
+
+    Returns fn(img): img is the SAME pre-padded (B, hp, wp) uint32 buffer
+    the compute kernel consumes in ring mode; result is (B, out_h, out_w)
+    uint32 whose content is meaningless (a broadcast scalar per band) but
+    whose production moves exactly the compute kernel's HBM traffic.
+    """
+    if not geom.get("packed", True):
+        raise ValueError("DMA-floor probe covers the packed-u32 serving "
+                         "paths only (planar 10-bit IO publishes no probe)")
+    B, GY = int(geom["batch"]), int(geom["gy"])
+    IH, WP = int(geom["ih"]), int(geom["wp"])
+    TH, OH, OW = int(geom["th"]), int(geom["out_h"]), int(geom["out_w"])
+    HP = int(geom["hp"])
+    oy = np.asarray(geom["oy"], np.int32)
+    TOTAL = B * GY
+
+    def kernel(oy_ref, img, out_ref, inbuf, sems):
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        step = b * GY + i
+        slot = BD.dma_wait_slot(img, inbuf, sems, oy_ref, step, b, i,
+                                packed_io=True, ih=IH, gy=GY, total=TOTAL)
+        # Store depends on the DMA'd band (one scalar) so neither the read
+        # nor the write can be elided; the content is irrelevant to DMA cost.
+        out_ref[0] = jnp.broadcast_to(inbuf[slot, 0:1, 0:1], (TH, OW))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, GY),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],   # img stays in HBM
+        out_specs=pl.BlockSpec((1, TH, OW), lambda b, i, *_: (b, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, IH, WP), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, OH, OW), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+    oy_dev = jnp.asarray(oy)
+
+    def fn(img):
+        assert img.shape == (B, HP, WP), (img.shape, (B, HP, WP))
+        return call(oy_dev, img)
+
+    fn.pad_to = (HP, WP)
+    # The traffic this floor represents (bytes), for effective-GB/s reports.
+    fn.read_bytes = TOTAL * IH * WP * 4
+    fn.write_bytes = B * OH * OW * 4
+    return fn
