@@ -108,6 +108,12 @@ class DebugKnobs:
     # extra band scratch round-trip exceeds the skipped RCAS work, which
     # is only ~0.3 ms for the whole band after the lane-rotate taps).
     epi_chunk_gate: bool = False
+    # Disable the exact-12-tap gather split (restores the r3 16-combination
+    # chunk matmul). The split pairs the dy in {0, 1} row blocks with all
+    # four dx column blocks and the dy in {-1, 2} blocks with dx in {0, 1}
+    # only — exactly the 12-tap EASU footprint (ffx_fsr1.h:328-348), 25%
+    # fewer gather MACs, bit-identical output (gather layout change only).
+    no_tap_split: bool = False
 
 
 def _bilinear_axis(out_n, in_n):
@@ -191,6 +197,10 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _EPI_SPECIALIZE = kn.epi_specialize
     _EPI_CHUNK_GATE = kn.epi_chunk_gate
     _FORCE_HIGHEST = kn.force_highest
+    # The 12-tap gather split and the derived-columns experiment both
+    # re-shape the per-chunk EASU matmul; they are mutually exclusive (the
+    # opt-in derive_cols keeps the r3 single-matmul layout).
+    _TAP12 = not (kn.no_tap_split or kn.derive_cols)
 
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
@@ -404,6 +414,27 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         GY = g1 - g0
         TOTAL = B * GY
 
+    # --- G-scratch EASU row-block layout --------------------------------------
+    # _TAP12 (production): the EASU region is grouped by tap footprint so the
+    # per-chunk gather can skip the 4 (dy, dx) combinations EASU never reads
+    # (ffx_fsr1.h:328-348 — dy in {-1, 2} only pairs with dx in {0, 1}):
+    #   region A rows [0, 6*TP):        3 channels x (dy=0, dy=1)
+    #   region B rows [6*TP, 12*TP):    3 channels x (dy=-1, dy=2)
+    # Region A multiplies against all 4 dx column blocks, region B against
+    # the middle 2 only — 36 instead of 48 block MACs (25% fewer), output
+    # bit-identical (pure gather-layout change). Legacy layout (no_tap_split
+    # / derive_cols): 3 channels x (dy=-1, 0, 1, 2) contiguous per channel.
+    _RB = 6 * TP
+    _DYI = {dy: j for j, dy in enumerate(_DYS)}
+
+    def _eoff(c, dy):
+        """G-scratch row offset of channel c's dy row block."""
+        if _TAP12:
+            if dy in (0, 1):
+                return c * 2 * TP + dy * TP
+            return _RB + c * 2 * TP + (0 if dy == -1 else TP)
+        return c * N_EASU + _DYI[dy] * TP
+
     def _mm(a, b):
         return jax.lax.dot_general(
             a.astype(mm_dtype), b.astype(mm_dtype),
@@ -467,13 +498,16 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 m = dym_r[0]                            # (3, TH_E, 1) f32
                 for c in range(3):
                     g0 = _mm(r_all[:TPX], inp_full(c)).astype(g_rows.dtype)
-                    base = c * N_EASU
-                    g_rows[base:base + TH_E] = jnp.where(
+                    o = _eoff(c, -1)
+                    g_rows[o:o + TH_E] = jnp.where(
                         m[0] > F32(0.5), g0[1:1 + TH_E], g0[0:TH_E])
-                    g_rows[base + TP:base + TP + TH_E] = g0[2:2 + TH_E]
-                    g_rows[base + 2 * TP:base + 2 * TP + TH_E] = jnp.where(
+                    o = _eoff(c, 0)
+                    g_rows[o:o + TH_E] = g0[2:2 + TH_E]
+                    o = _eoff(c, 1)
+                    g_rows[o:o + TH_E] = jnp.where(
                         m[1] > F32(0.5), g0[3:3 + TH_E], g0[4:4 + TH_E])
-                    g_rows[base + 3 * TP:base + 3 * TP + TH_E] = jnp.where(
+                    o = _eoff(c, 2)
+                    g_rows[o:o + TH_E] = jnp.where(
                         m[2] > F32(0.5), g0[4:4 + TH_E], g0[5:5 + TH_E])
 
             def _gather_bil():
@@ -492,8 +526,15 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                     g = _mm(r_all[lo:hi], inp_full(c))  # (hi-lo, WP) f32
                     gl = g.astype(g_rows.dtype)
                     if lo < N_EASU:
-                        he = min(hi, N_EASU)
-                        g_rows[c * N_EASU + lo:c * N_EASU + he] = gl[:he - lo]
+                        # scatter per dy block (the matmul output keeps the
+                        # one-hot's dy = -1, 0, 1, 2 order; destinations
+                        # follow the _eoff layout)
+                        for j, dy in enumerate(_DYS):
+                            b0, b1 = j * TP, (j + 1) * TP
+                            s0, s1 = max(lo, b0), min(hi, b1)
+                            if s0 < s1:
+                                d0 = _eoff(c, dy) + (s0 - b0)
+                                g_rows[d0:d0 + (s1 - s0)] = gl[s0 - lo:s1 - lo]
                     if hi > N_EASU:
                         lb = max(lo, N_EASU)
                         g_rows[3 * N_EASU + c * N_BIL + lb - N_EASU:
@@ -529,10 +570,39 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         dyi = {dy: j for j, dy in enumerate(_DYS)}
 
         def _easu_chunk(k, c0, w0, ppx_c):
+            taps = {}
+            if _TAP12:
+                # exact-12-tap split: region A (dy 0/1) against all 4 dx
+                # blocks, region B (dy -1/2) against the middle 2 only —
+                # 25% fewer gather MACs than the 16-combination matmul,
+                # bit-identical (layout change only). Both column slices
+                # are 128-lane aligned.
+                s_e = sst_r[k]                          # (KC, S_E + 2*CHUNK)
+                t_a = _mm2(g_rows[:_RB, w0:w0 + KC],
+                           s_e[:, :4 * CHUNK])          # (6*TP, 4*CHUNK)
+                t_b = _mm2(g_rows[_RB:2 * _RB, w0:w0 + KC],
+                           s_e[:, CHUNK:3 * CHUNK])     # (6*TP, 2*CHUNK)
+                for (dx, dy) in TAP_ORDER:
+                    if dy in (0, 1):
+                        src, coff, rb = t_a, (dx + 1) * CHUNK, 0
+                    else:
+                        src, coff, rb = t_b, dx * CHUNK, _RB
+                    taps[(dx, dy)] = [
+                        src[_eoff(c, dy) - rb:_eoff(c, dy) - rb + TH_E,
+                            coff:coff + CHUNK] * inv_cmax
+                        for c in range(3)]
+                if _MM_ONLY:
+                    for c in range(3):
+                        s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
+                    return
+                res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt,
+                                      exact_div=precision == "full")
+                for c in range(3):
+                    s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
+                return
             s_e = sst_r[k, :, :S_E_COLS]                # (KC, S_E_COLS)
             ge = g_rows[:3 * N_EASU, w0:w0 + KC]
             t = _mm2(ge, s_e)                           # (3*4*TP, S_E_COLS)
-            taps = {}
             if derive_cols_ok:
                 cm = cmk_r[k]                           # (3, 1, CHUNK) f32
                 cmi = {-1: 0, 1: 1, 2: 2}
