@@ -245,6 +245,13 @@ def make_io_fn(call, h, w, hp, wp, packed_io, geom=None):
     to build the kernel's memory speed-of-light probe."""
 
     def fn(img):
+        # Only two geometries are legal: the build shape (h, w) or the
+        # pre-padded device-ring pitch (hp, wp). Anything else is a caller
+        # geometry mistake — fail loudly instead of silently mis-padding.
+        if img.shape[-2:] not in ((h, w), (hp, wp)):
+            raise ValueError(
+                f"frame shape {img.shape[-2:]} matches neither the build "
+                f"shape {(h, w)} nor the pre-padded pitch {(hp, wp)}")
         if packed_io:
             if img.shape[-2:] == (hp, wp):       # caller pre-padded
                 pass

@@ -236,6 +236,13 @@ def build_nvsharpen(batch, h, w, *, nis_cfg: NisConfig, centres, color_bits=8,
                jnp.asarray(rstack, mm_dtype)]
 
     def fn(img):
+        if img.shape[-2:] not in ((H, W), (HP, WP)):
+            # a frame whose geometry matches neither the build shape nor
+            # the pre-padded pitch is a caller mistake — fail loudly
+            # (the pre-padded branch would silently overwrite its columns)
+            raise ValueError(
+                f"frame shape {img.shape[-2:]} matches neither the build "
+                f"shape {(H, W)} nor the pre-padded pitch {(HP, WP)}")
         if not packed_io:
             img = img.astype(jnp.float32)
         if img.shape[-2:] == (HP, WP):

@@ -430,13 +430,18 @@ class TestPackedU32Api:
         import jax
         backend = ("pallas" if jax.default_backend() == "tpu"
                    else "pallas-interpret")
-        u8, u32 = self._frames()
+        # 100 is NOT 8-row-aligned (and 130 not lane-aligned) so BOTH pad
+        # axes are exercised — 96-row frames would leave the row-pad path
+        # (HP != H) untested.
+        u8 = np.stack([FR.zone_plate_frame(100, 130),
+                       FR.noise_frame(100, 130, seed=3)])
+        u32 = u8.view(np.uint32)[..., 0]
         h, w = u8.shape[1:3]
         cfg = Config(enabled=True, sharpness=0.9, radius=0.5, **mode_kw)
         pipe = Pipeline(cfg, backend=backend)
         fn = pipe._build(2, h, w, (0, 1))
         hp, wp = fn.pad_to   # the kernel's published (sublane, lane) pitch
-        assert (hp, wp) != (h, w)  # geometry chosen to exercise the pad
+        assert hp != h and wp != w  # both pad axes must be exercised
         pre = np.pad(u32, ((0, 0), (0, hp - h), (0, wp - w)))
         a = np.asarray(fn(u32))
         b = np.asarray(fn(pre))

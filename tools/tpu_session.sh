@@ -16,7 +16,9 @@ mkdir -p /tmp/tpu_session
 # session runs it from several processes (bench_paths, parity, A/B tools).
 # The cache works on the axon tunnel backend (verified round 3); compiles
 # over the default 1 s threshold are paid once per kernel, not per step.
-JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
+# Per-user default path: a world-shared /tmp/jax_cache can hit permission
+# failures or stale reuse across users on a multi-user host.
+JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-${XDG_CACHE_HOME:-$HOME/.cache}/openvr_fsr_tpu/jax_cache}"
 export JAX_COMPILATION_CACHE_DIR
 mkdir -p "$JAX_COMPILATION_CACHE_DIR"
 
