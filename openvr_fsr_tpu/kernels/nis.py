@@ -45,6 +45,16 @@ class NisDebugKnobs:
                                   # gated loop (A/B the ungated variant)
     no_vmem_shrink: bool = False  # profiling: skip the band auto-shrink
     vmem_limit_mb: int = 100      # profiling: scoped-VMEM limit override
+    # Restore the round-3 many-small-matmuls layout: 24 per-chunk luma
+    # column gathers (8 dx blocks x 3 splits) instead of 3 merged ones,
+    # and the 144 per-band circulant sandwich matmuls (Boh @ Circ_j per
+    # split) instead of the host-precomputed V = Circ @ Aoh static with
+    # one (TH, 64) x (64, 72*CHUNK) matmul per chunk per diagonal. Both
+    # layouts are bit-identical (one-hot gathers select single values, so
+    # merge order cannot change bits); the merged form exists because
+    # small per-chunk matmuls pay 2-4x their compute in launch overhead
+    # (tools/ab_fsr.py _MM_ONLY; tools/ab_nis.py --merge-ab).
+    no_mm_merge: bool = False
 
 
 F32 = np.float32
@@ -493,6 +503,25 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     NCIRC = len(circs)  # 72
     circ_stack = np.stack(circs, 0)
 
+    # ---- host-precomputed circulant columns: V = Circ @ Aoh -------------------
+    # cc = (Boh @ Circ_j) @ Aoh == Boh @ (Circ_j @ Aoh), and Circ_j @ Aoh is
+    # fully static: V[k][m, j*CHUNK + c] = Circ_j[m, fx_int[k*CHUNK + c]].
+    # One (TH, 64) x (64, NCIRC*CHUNK) matmul per chunk per diagonal then
+    # replaces the 2*NCIRC per-band sandwich matmuls — identical MACs and
+    # bit-identical values (one-hot gathers select single bf16-exact split
+    # values), ~150 fewer matmul launches per band. Falls back to the
+    # sandwich when the resident V would blow the VMEM budget (very wide
+    # outputs, e.g. the 8K aspect).
+    mm_merge = not kn.no_mm_merge
+    use_vstatic = mm_merge and NCHUNK * 64 * NCIRC * CHUNK * 2 <= 24 * 2**20
+    vstack = None
+    if use_vstatic:
+        vstack = np.zeros((NCHUNK, 64, NCIRC * CHUNK), np.float32)
+        for k in range(NCHUNK):
+            a = fx_int_p[k * CHUNK:k * CHUNK + CHUNK]
+            for j in range(NCIRC):
+                vstack[k, :, j * CHUNK:(j + 1) * CHUNK] = circ_stack[j][:, a]
+
     # phase one-hots: 45deg uses b = trunc(64*fy); 135deg uses 63 - b
     b45 = fy_int[rows_out]
     boh45 = np.zeros((GY, TH, 64), np.float32)
@@ -539,8 +568,14 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     _mm, _ = BD.mm_fns(pol)
 
     def kernel(oy_ref, cls_ref, bcls_ref,
-               img, mst_r, rst_r, sst_r, boh45_r, boh135_r, aoh_r, circ_r,
-               rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems):
+               img, mst_r, rst_r, sst_r, boh45_r, boh135_r, *rest):
+        if use_vstatic:
+            vst_r, rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems = rest
+            aoh_r = circ_r = None
+        else:
+            (aoh_r, circ_r, rowp_r, colp_r, out_ref,
+             inbuf, s_nis, s_fb, sems) = rest
+            vst_r = None
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -567,8 +602,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         def _fb_chunk(k, c0, w0, ffx_c):
             for c in range(3):
                 gb = _mm(r_fb, band[c][:, w0:w0 + KC])
-                t0 = _mm(gb, sst_r[k][:, 10 * CHUNK:11 * CHUNK]) * inv_cmax
-                t1 = _mm(gb, sst_r[k][:, 11 * CHUNK:]) * inv_cmax
+                if mm_merge:
+                    t01 = _mm(gb, sst_r[k][:, 10 * CHUNK:]) * inv_cmax
+                    t0, t1 = t01[:, :CHUNK], t01[:, CHUNK:]
+                else:
+                    t0 = _mm(gb, sst_r[k][:, 10 * CHUNK:11 * CHUNK]) * inv_cmax
+                    t1 = _mm(gb, sst_r[k][:, 11 * CHUNK:]) * inv_cmax
                 top = t0[:TH] * (one - ffx_c) + t1[:TH] * ffx_c
                 bot = t0[TH:] * (one - ffx_c) + t1[TH:] * ffx_c
                 s_fb[c, :, c0:c0 + CHUNK] = top * (one - ffy_t) + bot * ffy_t
@@ -584,10 +623,13 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                           band[2].astype(jnp.float32) * inv_cmax,
                           cfg.hdr_mode)
             ysp = _split3(y01b)
-            w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
-                                   for j in range(NCIRC)], axis=0)
-            w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
-                                    for j in range(NCIRC)], axis=0)
+            if use_vstatic:
+                w45 = w135 = None      # per-chunk Boh @ V replaces the sandwich
+            else:
+                w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
+                                       for j in range(NCIRC)], axis=0)
+                w135 = jnp.concatenate([_mm(boh135_r[0], circ_r[j])
+                                        for j in range(NCIRC)], axis=0)
             for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
                 c0 = k * CHUNK
                 w0 = cw0[k]
@@ -609,16 +651,31 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     # pairs the 4 corner 3x3 neighborhoods read.
                     g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
                     p01 = {}
-                    for dxk in range(8):
-                        scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
-                        t = [_mm(gs, scol) for gs in g]
-                        if dxk < 6:
-                            dyks = range(6) if dxk in (0, 5) else range(8)
-                        else:          # eA'/eB' columns: edge-map rows only
-                            dyks = (1, 2, 3, 4, 6, 7)
-                        for dyk in dyks:
-                            sl = slice(dyk * TH, (dyk + 1) * TH)
-                            p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
+                    if mm_merge:
+                        # ONE column matmul per split over all 8 dx blocks
+                        # (24 -> 3 launches; identical MACs — the old form
+                        # already computed every row for each block)
+                        tm = [_mm(gs, sall[:, :8 * CHUNK]) for gs in g]
+                        for dxk in range(8):
+                            dyks = ((range(6) if dxk in (0, 5) else range(8))
+                                    if dxk < 6 else (1, 2, 3, 4, 6, 7))
+                            cs3 = slice(dxk * CHUNK, (dxk + 1) * CHUNK)
+                            for dyk in dyks:
+                                sl = slice(dyk * TH, (dyk + 1) * TH)
+                                p01[dyk, dxk] = ((tm[0][sl, cs3]
+                                                  + tm[1][sl, cs3])
+                                                 + tm[2][sl, cs3])
+                    else:
+                        for dxk in range(8):
+                            scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
+                            t = [_mm(gs, scol) for gs in g]
+                            if dxk < 6:
+                                dyks = range(6) if dxk in (0, 5) else range(8)
+                            else:      # eA'/eB' columns: edge-map rows only
+                                dyks = (1, 2, 3, 4, 6, 7)
+                            for dyk in dyks:
+                                sl = slice(dyk * TH, (dyk + 1) * TH)
+                                p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
                     p = {k2: cast(v * n255) for k2, v in p01.items()
                          if k2[0] < 6 and k2[1] < 6}
 
@@ -647,17 +704,33 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     f90 = eval_poly6_core(interp90, cxd, cuxd, lox, cfg, dt)
 
                     # ---- diagonal phases + circulant coefficient planes --------
-                    cc45 = _mm(w45, aoh_r[k])        # (72*TH, CHUNK)
-                    cc135 = _mm(w135, aoh_r[k])
+                    if use_vstatic:
+                        # Boh @ V: (TH, 64) x (64, NCIRC*CHUNK) — one matmul
+                        # per diagonal, j blocks along lanes
+                        cc45 = _mm(boh45_r[0], vst_r[k])
+                        cc135 = _mm(boh135_r[0], vst_r[k])
 
-                    def coefs(cc, v, t):
-                        out = []
-                        for ii in range(6):
-                            j0 = (((v * 2 + t) * 6 + ii) * 3)
-                            out.append((cc[j0 * TH:(j0 + 1) * TH]
-                                        + cc[(j0 + 1) * TH:(j0 + 2) * TH])
-                                       + cc[(j0 + 2) * TH:(j0 + 3) * TH])
-                        return out
+                        def coefs(cc, v, t):
+                            out = []
+                            for ii in range(6):
+                                j0 = ((v * 2 + t) * 6 + ii) * 3
+                                out.append(
+                                    (cc[:, j0 * CHUNK:(j0 + 1) * CHUNK]
+                                     + cc[:, (j0 + 1) * CHUNK:(j0 + 2) * CHUNK])
+                                    + cc[:, (j0 + 2) * CHUNK:(j0 + 3) * CHUNK])
+                            return out
+                    else:
+                        cc45 = _mm(w45, aoh_r[k])    # (72*TH, CHUNK)
+                        cc135 = _mm(w135, aoh_r[k])
+
+                        def coefs(cc, v, t):
+                            out = []
+                            for ii in range(6):
+                                j0 = (((v * 2 + t) * 6 + ii) * 3)
+                                out.append((cc[j0 * TH:(j0 + 1) * TH]
+                                            + cc[(j0 + 1) * TH:(j0 + 2) * TH])
+                                           + cc[(j0 + 2) * TH:(j0 + 3) * TH])
+                            return out
 
                     s45 = fx64 + fy64
                     s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
@@ -757,8 +830,12 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     for c in range(4):
                         sc = inv_cmax if c < 3 else inv_amax
                         gb = _mm(r_op, band[c][:, w0:w0 + KC])
-                        t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * sc
-                        t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * sc
+                        if mm_merge:
+                            t01 = _mm(gb, sall[:, 8 * CHUNK:10 * CHUNK]) * sc
+                            t0, t1 = t01[:, :CHUNK], t01[:, CHUNK:]
+                        else:
+                            t0 = _mm(gb, sall[:, 8 * CHUNK:9 * CHUNK]) * sc
+                            t1 = _mm(gb, sall[:, 9 * CHUNK:10 * CHUNK]) * sc
                         # bilinear_sample_jax form: c00*(1-fx) + c10*fx
                         top = t0[:TH] * (one - ofx_c) + t1[:TH] * ofx_c
                         bot = t0[TH:] * (one - ofx_c) + t1[TH:] * ofx_c
@@ -833,8 +910,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
             pl.BlockSpec((NCHUNK, KC, 12 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
-            pl.BlockSpec((NCHUNK, 64, CHUNK), lambda b, i, *_: (0, 0, 0)),
-            pl.BlockSpec((NCIRC, 64, 64), lambda b, i, *_: (0, 0, 0)),
+        ] + ([pl.BlockSpec((NCHUNK, 64, NCIRC * CHUNK),
+                           lambda b, i, *_: (0, 0, 0))]
+             if use_vstatic else
+             [pl.BlockSpec((NCHUNK, 64, CHUNK), lambda b, i, *_: (0, 0, 0)),
+              pl.BlockSpec((NCIRC, 64, 64), lambda b, i, *_: (0, 0, 0))]) + [
             pl.BlockSpec((1, 18, TH, 1), lambda b, i, *_: (i, 0, 0, 0)),
             pl.BlockSpec((NCHUNK, 18, 1, CHUNK), lambda b, i, *_: (0, 0, 0, 0)),
         ],
@@ -864,9 +944,10 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     statics = [jnp.asarray(oy_all), jnp.asarray(cls_flat),
                jnp.asarray(band_cls), jnp.asarray(mstate),
                jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype),
-               jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype),
-               jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype),
-               jnp.asarray(rowpack), jnp.asarray(colpack)]
+               jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype)] \
+        + ([jnp.asarray(vstack, mm_dtype)] if use_vstatic else
+           [jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype)]) \
+        + [jnp.asarray(rowpack), jnp.asarray(colpack)]
 
     return BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,

@@ -15,6 +15,12 @@ from openvr_fsr_tpu.core import constants as C
 from openvr_fsr_tpu.core.projection import default_centers
 from openvr_fsr_tpu.utils import frames as FR
 
+# Full tier: interpret-mode kernel parity at real (if small) shapes is the
+# expensive part of the pyramid (~16 of the suite's ~23 CPU minutes). CI
+# runs these on a schedule; the per-push quick tier keeps kernel smoke
+# coverage via tests/test_kernels_smoke.py.
+pytestmark = pytest.mark.slow
+
 
 def _backend():
     import jax
@@ -104,6 +110,30 @@ class TestFusedFsrKernel:
         got, ref = _run_pair(64, 72, radius=0.3, rs=0.75, use_nis=True,
                              debug=True)
         _assert_close(got, ref)
+
+    def test_nvscaler_mm_merge_layouts_bit_identical(self):
+        """The merged-matmul layout (host-precomputed V = Circ @ Aoh, one
+        column gather over all dx blocks) must be bit-identical to the
+        round-3 many-small-matmuls sandwich: one-hot gathers select single
+        values, so merge order cannot change bits. Pins the no_mm_merge
+        fallback branch (used when resident V would blow VMEM)."""
+        from openvr_fsr_tpu.kernels.nis import build_nvscaler, NisDebugKnobs
+        from openvr_fsr_tpu.core import constants as C
+
+        h, w, oh, ow = 48, 64, 64, 88
+        fc = C.foveation_constants(ow, oh, 0.5, (0.5, 0.5), (0.5, 0.5), False)
+        centres = np.asarray(
+            [[*fc.centre_left, *fc.centre_right, fc.radius_sq]], np.int64)
+        nis_cfg = C.nvscaler_update_config(0.9, w, h, w, h, ow, oh, ow, oh)
+        rng = np.random.default_rng(11)
+        img = rng.integers(0, 2**32, (1, h, w), dtype=np.uint32)
+        merged = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                                centres=centres, interpret=True)
+        sandwich = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                                  centres=centres, interpret=True,
+                                  knobs=NisDebugKnobs(no_mm_merge=True))
+        a, b = np.asarray(merged(img)), np.asarray(sandwich(img))
+        assert np.array_equal(a, b)
 
     def test_nvscaler_wide_band_autoshrink_matches(self):
         """Wide outputs trip the NVScaler VMEM band auto-shrink; the shrunk

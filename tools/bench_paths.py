@@ -4,7 +4,7 @@
 bench.py measures only the flagship fused-FSR config; this tool measures
 every compute path the framework ships (the reference's mode truth table,
 PostProcessor.cpp:530-535, 586-594) at the headline geometry and writes
-`BENCH_PATHS_r03.json` so perf claims for the non-flagship paths live in an
+`BENCH_PATHS_r04.json` so perf claims for the non-flagship paths live in an
 artifact rather than README prose (round-2 verdict items 3/4/7):
 
   fsr_fused        EASU+RCAS,  1683x1869 -> 2244x2492 (rs 0.75)
@@ -20,8 +20,11 @@ All paths run the zero-copy packed-u32 serving input (pre-padded ring
 frames, see bench.py's rationale) with sharpness 0.9 and foveated radius
 0.5. Methodology matches bench.py: N back-to-back launches over rotating
 buffers, completion forced by a host transfer of a reduction, min of three
-medians. NVScaler's full-size compile takes minutes on the tunnel — use
-`--paths` to measure a subset.
+medians; every path's vs_sol is stamped with its own Pallas DMA-floor
+probe (kernels/sol.py — the zero-compute kernel with the path's exact
+outer machine), measured in-process with the same methodology, so
+vs_sol <= 1 by construction. NVScaler's full-size compile takes minutes
+on the tunnel — use `--paths` to measure a subset.
 
   python tools/bench_paths.py [--paths fsr_fused,nvscaler] [--out FILE]
 """
@@ -54,7 +57,7 @@ def main():
     ap.add_argument("--paths", default=",".join(PATHS),
                     help="comma-separated subset of: " + ", ".join(PATHS))
     ap.add_argument("--out", default=str(
-        Path(__file__).resolve().parent.parent / "BENCH_PATHS_r03.json"))
+        Path(__file__).resolve().parent.parent / "BENCH_PATHS_r04.json"))
     ap.add_argument("--iters", type=int, default=30)
     args = ap.parse_args()
 
@@ -74,16 +77,10 @@ def main():
         return jax.device_put(np.pad(
             packed, ((0, 0), (0, hp - h), (0, wp - w))))
 
-    # Session HBM calibration (bench.py's yardstick): one read + one write
-    # rate measurement, reused to stamp every path with its memory
-    # speed-of-light so the artifact stays interpretable across the tunnel
-    # chip's ~35% session-to-session drift.
-    from openvr_fsr_tpu.utils.timing import hbm_calibration
-    read_bw, write_bw = hbm_calibration()
-    print(f"[bench_paths] calibration: read {read_bw/1e9:.0f} GB/s, "
-          f"write {write_bw/1e9:.0f} GB/s", file=sys.stderr, flush=True)
+    from openvr_fsr_tpu.kernels.sol import build_dma_floor
 
     results = {}
+    probe_gbps = []
     for name in args.paths.split(","):
         cfg_kw, (w, h) = PATHS[name]
         pipe = Pipeline(Config(enabled=True, sharpness=0.9, radius=0.5,
@@ -117,21 +114,42 @@ def main():
         run(5)
         ms = min(run(args.iters) for _ in range(3))
         mpix = 2 * ow * oh / 1e6
-        in_b = 2 * h * w * 4
-        out_b = 2 * ow * oh * 4
-        sol_ms = (in_b / read_bw + out_b / write_bw) * 1000.0
+
+        # per-path Pallas DMA-floor probe: identical outer machine (grid,
+        # band row windows, double-buffered ring, packed band stores), zero
+        # compute — its time is this path's memory speed-of-light
+        floor = build_dma_floor(fn.dma_geometry)
+        pf = jax.jit(floor)
+        y = pf(inputs[0])
+        _ = np.asarray(y[0, 0, 0])
+
+        def run_floor(iters):
+            t0 = time.perf_counter()
+            out = None
+            for i in range(iters):
+                out = pf(inputs[i % len(inputs)])
+            _ = np.asarray(jnp.sum(out[:, ::373, ::373]))
+            return (time.perf_counter() - t0) / iters * 1000.0
+
+        run_floor(5)
+        sol_ms = min(run_floor(args.iters) for _ in range(3))
+        eff_gbps = ((floor.read_bytes + floor.write_bytes) / 1e9
+                    / (sol_ms / 1000.0))
+        probe_gbps.append(eff_gbps)
         results[name] = {
             "metric": f"{name}_stereo_{ow}x{oh}_ms",
             "value": round(ms, 4),
             "unit": "ms",
             "mpix_per_s": round(mpix / (ms / 1000.0), 1),
             "compile_s": round(compile_s, 1),
+            "sol_probe": "pallas_dma_floor",
+            "probe_effective_gbps": round(eff_gbps, 1),
             "hbm_sol_ms": round(sol_ms, 4),
             "vs_sol": round(sol_ms / ms, 4),
         }
         print(f"[bench_paths] {name}: {ms:.3f} ms/pair "
               f"({results[name]['mpix_per_s']:.0f} Mpix/s, "
-              f"{sol_ms/ms*100:.0f}% of memory SOL, "
+              f"{sol_ms/ms*100:.0f}% of memory SOL @ {eff_gbps:.0f} GB/s, "
               f"compile {compile_s:.0f}s)", file=sys.stderr, flush=True)
 
     existing = {}
@@ -142,11 +160,14 @@ def main():
     existing["_meta"] = {
         "config": "stereo pair, sharpness 0.9, radius 0.5, packed-u32 "
                   "serving input",
-        "device_read_gbps": round(read_bw / 1e9, 1),
-        "device_write_gbps": round(write_bw / 1e9, 1),
+        "sol_probe": "pallas_dma_floor (kernels/sol.py): per-path "
+                     "zero-compute kernel with the identical outer "
+                     "machine; vs_sol = floor/time <= 1 by construction",
+        "probe_effective_gbps_median": round(
+            float(np.median(probe_gbps)), 1) if probe_gbps else None,
         "note": "absolute times are for the axon dev tunnel chip, whose "
                 "rates drift ~35% between sessions; vs_sol (this "
-                "session's HBM speed-of-light / measured time) is the "
+                "session's DMA floor / measured time) is the "
                 "drift-independent number",
     }
     out_path.write_text(json.dumps(existing, indent=1) + "\n")
