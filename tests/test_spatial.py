@@ -7,6 +7,11 @@ import pytest
 
 import jax
 
+# Full tier: strip-kernel interpret builds at several geometries (~1.5 min);
+# the quick tier keeps one spatial smoke in tests/test_kernels_smoke.py and
+# the batch-DP sharding coverage in test_sharding.py.
+pytestmark = pytest.mark.slow
+
 from openvr_fsr_tpu.core.config import Config
 from openvr_fsr_tpu.core import constants as C
 from openvr_fsr_tpu.kernels import _band as BD
