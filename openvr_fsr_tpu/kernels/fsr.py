@@ -33,9 +33,13 @@ TPU-first design (v3 — band row-gather prologue, stacked column matmuls):
     decode (k * 1/255) happens after the gather, matching
     utils.frames.to_planar. (10-bit inputs exceed bf16 integer range and
     use f32 HIGHEST matmuls instead.)
-  * The band epilogue quantizes stage 1 to the UNORM grid in-register (the
-    reference's intermediate texture) and applies RCAS with lane-rotate
-    horizontal taps — the EASU->RCAS handoff never leaves VMEM.
+  * (v4) The y-lerp, the foveated per-pixel select and the UNORM quantize
+    (the reference's intermediate texture, PostProcessor.cpp:527) run
+    inside the chunk loop at register-resident chunk width, writing ONE
+    quantized band scratch; the band epilogue is only RCAS with
+    lane-rotate horizontal taps + the inside-circle select + the packed
+    UNORM store — the EASU->RCAS handoff never leaves VMEM. (The r3
+    band-wide epilogue survives behind DebugKnobs.band_epilogue for A/B.)
   * The foveation circle is evaluated per 16x16 group exactly like the HLSL
     (integer centre/radius math); whole 128x128 chunks skip the EASU
     matmuls / bilinear / RCAS via a per-chunk class (0=all outside,
@@ -114,6 +118,14 @@ class DebugKnobs:
     # only — exactly the 12-tap EASU footprint (ffx_fsr1.h:328-348), 25%
     # fewer gather MACs, bit-identical output (gather layout change only).
     no_tap_split: bool = False
+    # Restore the r3 band-wide epilogue (y-lerp + foveated select + UNORM
+    # quantize as ~13 full-band passes over (3, TH_E, OWP) scratches). The
+    # r4 default runs those ops per 128-column chunk inside the stage-1
+    # loop (register-resident, and the select/quantize commute bit-exactly
+    # with the per-pixel foveation select), writing ONE quantized band
+    # scratch that the RCAS epilogue consumes directly. epi_specialize /
+    # epi_chunk_gate are band-epilogue experiments and imply this knob.
+    band_epilogue: bool = False
 
 
 def _bilinear_axis(out_n, in_n):
@@ -197,6 +209,8 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _EPI_SPECIALIZE = kn.epi_specialize
     _EPI_CHUNK_GATE = kn.epi_chunk_gate
     _FORCE_HIGHEST = kn.force_highest
+    # band-wide epilogue (r3 structure) — implied by its sub-experiments
+    _BAND_EPI = kn.band_epilogue or kn.epi_specialize or kn.epi_chunk_gate
     # The 12-tap gather split and the derived-columns experiment both
     # re-shape the per-chunk EASU matmul; they are mutually exclusive (the
     # opt-in derive_cols keeps the r3 single-matmul layout).
@@ -448,11 +462,17 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,
-               cmk_r, out_ref, inbuf, g_rows, s_easu, s_bilx, *extra):
-        if _EPI_CHUNK_GATE:
-            s_q, sems = extra
+               cmk_r, out_ref, inbuf, g_rows, *extra):
+        s_easu = s_bilx = s_q = s_qv = None
+        if _BAND_EPI:
+            if _EPI_CHUNK_GATE:
+                s_easu, s_bilx, s_q, sems = extra
+            else:
+                s_easu, s_bilx, sems = extra
         else:
-            (sems,) = extra
+            # r4 default: ONE quantized stage-1 band scratch (the
+            # reference's intermediate texture) written per chunk
+            s_qv, sems = extra
         b = pl.program_id(0)
         i = pl.program_id(1)
         step = b * GY + i
@@ -569,7 +589,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
         # faster than band-wide (TH_E, OWP) arrays, tools/microbench.py v3).
         dyi = {dy: j for j, dy in enumerate(_DYS)}
 
-        def _easu_chunk(k, c0, w0, ppx_c):
+        def _easu_vals(k, c0, w0, ppx_c):
+            """Stage-1 EASU values for chunk k as [r, g, b] f32 planes of
+            (TH_E, CHUNK); under _MM_ONLY, the (0, 0) taps instead."""
             taps = {}
             if _TAP12:
                 # exact-12-tap split: region A (dy 0/1) against all 4 dx
@@ -591,46 +613,37 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                         src[_eoff(c, dy) - rb:_eoff(c, dy) - rb + TH_E,
                             coff:coff + CHUNK] * inv_cmax
                         for c in range(3)]
-                if _MM_ONLY:
-                    for c in range(3):
-                        s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
-                    return
-                res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt,
-                                      exact_div=precision == "full")
-                for c in range(3):
-                    s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
-                return
-            s_e = sst_r[k, :, :S_E_COLS]                # (KC, S_E_COLS)
-            ge = g_rows[:3 * N_EASU, w0:w0 + KC]
-            t = _mm2(ge, s_e)                           # (3*4*TP, S_E_COLS)
-            if derive_cols_ok:
-                cm = cmk_r[k]                           # (3, 1, CHUNK) f32
-                cmi = {-1: 0, 1: 1, 2: 2}
-                for (dx, dy) in TAP_ORDER:
-                    rows = [slice(c * N_EASU + dyi[dy] * TP,
-                                  c * N_EASU + dyi[dy] * TP + TH_E)
-                            for c in range(3)]
-                    if dx == 0:
-                        taps[(dx, dy)] = [
-                            t[r, 2:2 + CHUNK] * inv_cmax for r in rows]
-                    else:
-                        s1, s2 = _CSHIFTS[dx]
-                        m = cm[cmi[dx]] > F32(0.5)
-                        taps[(dx, dy)] = [
-                            jnp.where(m, t[r, 2 + s1:2 + s1 + CHUNK],
-                                      t[r, 2 + s2:2 + s2 + CHUNK]) * inv_cmax
-                            for r in rows]
             else:
-                for (dx, dy) in TAP_ORDER:
-                    taps[(dx, dy)] = [
-                        t[c * N_EASU + dyi[dy] * TP:
-                          c * N_EASU + dyi[dy] * TP + TH_E,
-                          (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax
-                        for c in range(3)]
+                s_e = sst_r[k, :, :S_E_COLS]            # (KC, S_E_COLS)
+                ge = g_rows[:3 * N_EASU, w0:w0 + KC]
+                t = _mm2(ge, s_e)                       # (3*4*TP, S_E_COLS)
+                if derive_cols_ok:
+                    cm = cmk_r[k]                       # (3, 1, CHUNK) f32
+                    cmi = {-1: 0, 1: 1, 2: 2}
+                    for (dx, dy) in TAP_ORDER:
+                        rows = [slice(c * N_EASU + dyi[dy] * TP,
+                                      c * N_EASU + dyi[dy] * TP + TH_E)
+                                for c in range(3)]
+                        if dx == 0:
+                            taps[(dx, dy)] = [
+                                t[r, 2:2 + CHUNK] * inv_cmax for r in rows]
+                        else:
+                            s1, s2 = _CSHIFTS[dx]
+                            m = cm[cmi[dx]] > F32(0.5)
+                            taps[(dx, dy)] = [
+                                jnp.where(m, t[r, 2 + s1:2 + s1 + CHUNK],
+                                          t[r, 2 + s2:2 + s2 + CHUNK])
+                                * inv_cmax
+                                for r in rows]
+                else:
+                    for (dx, dy) in TAP_ORDER:
+                        taps[(dx, dy)] = [
+                            t[c * N_EASU + dyi[dy] * TP:
+                              c * N_EASU + dyi[dy] * TP + TH_E,
+                              (dx + 1) * CHUNK:(dx + 2) * CHUNK] * inv_cmax
+                            for c in range(3)]
             if _MM_ONLY:  # profiling: isolate the gather-matmul cost
-                for c in range(3):
-                    s_easu[c, :, c0:c0 + CHUNK] = taps[(0, 0)][c]
-                return
+                return [taps[(0, 0)][c] for c in range(3)]
             # channel-split core: no (3, TH_E, CHUNK) stacks materialize.
             # exact_div: the resolve's true division is the one op whose
             # TPU rounding drifts from IEEE (numerics_probe) — corrected
@@ -638,22 +651,77 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             # RCAS's inputs (the quantized stage-1) exact downstream.
             res = easu_core_split(taps, ppx_c, ppy_t, dt=core_dt,
                                   exact_div=precision == "full")
-            for c in range(3):
-                s_easu[c, :, c0:c0 + CHUNK] = res[c].astype(jnp.float32)
+            return [res[c].astype(jnp.float32) for c in range(3)]
 
-        def _bil_chunk(k, c0, w0):
+        def _bil_xl(k, c0, w0):
+            """x-lerped bilinear rows for chunk k: {(c, yb): (TH_E, CHUNK)}.
+            The y-lerp happens band-wide in the r3 band epilogue and
+            per-chunk in the r4 default path — identical op order."""
             s_b = sst_r[k, :, S_E_COLS:]                # (KC, 2*CHUNK)
             fxc = fbx_r[k]                              # (1, CHUNK)
             gb = g_rows[3 * N_EASU:, w0:w0 + KC]
             t = _mm2(gb, s_b)                           # (3*2*TP, 2*CHUNK)
+            xl = {}
             for c in range(3):
-                # x-lerp now (ops are small either way); y-lerp band-wide
                 for yb in range(2):                     # y0 and y1 rows
                     ty = t[c * N_BIL + yb * TP:c * N_BIL + yb * TP + TH_E]
                     t0 = ty[:, :CHUNK] * inv_cmax
                     t1 = ty[:, CHUNK:] * inv_cmax
-                    s_bilx[c, yb * TH_E:(yb + 1) * TH_E, c0:c0 + CHUNK] = \
-                        t0 * (one - fxc) + t1 * fxc
+                    xl[(c, yb)] = t0 * (one - fxc) + t1 * fxc
+            return xl
+
+        if _BAND_EPI:
+            def _easu_chunk(k, c0, w0, ppx_c):
+                vals = _easu_vals(k, c0, w0, ppx_c)
+                for c in range(3):
+                    s_easu[c, :, c0:c0 + CHUNK] = vals[c]
+
+            def _bil_chunk(k, c0, w0, mixed=False):
+                xl = _bil_xl(k, c0, w0)
+                for c in range(3):
+                    for yb in range(2):
+                        s_bilx[c, yb * TH_E:(yb + 1) * TH_E,
+                               c0:c0 + CHUNK] = xl[(c, yb)]
+        else:
+            # r4 chunk-resident epilogue head: the y-lerp, the foveated
+            # per-pixel select and the UNORM quantize run here per chunk
+            # (register-resident) instead of as band-wide passes. Bit-exact
+            # vs the r3 band epilogue: quantize and dead-zeroing commute
+            # with the per-pixel select (identical elementwise ops applied
+            # to whichever arm the select keeps).
+            def _qv_of(vals, dead):
+                # UNORM round-trip between the reference's two dispatches
+                # (PostProcessor.cpp:527) + the Load() zero rule for
+                # out-of-image texels
+                return [jnp.where(dead, F32(0.0), jnp.round(jnp.clip(
+                    v, F32(0.0), F32(1.0)) * cmax)) * inv_cmax
+                    for v in vals]
+
+            def _easu_chunk(k, c0, w0, ppx_c):
+                # i8 vector compares are unsupported on TPU — widen first
+                msk = mst_r[0, 0, :, c0:c0 + CHUNK].astype(jnp.int32)
+                qv = _qv_of(_easu_vals(k, c0, w0, ppx_c), msk == 2)
+                for c in range(3):
+                    s_qv[c, :, c0:c0 + CHUNK] = qv[c]
+
+            def _bil_chunk(k, c0, w0, mixed=False):
+                xl = _bil_xl(k, c0, w0)
+                fyc = fby_r[0]                          # (TH_E, 1)
+                vals = [xl[(c, 0)] * (one - fyc) + xl[(c, 1)] * fyc
+                        for c in range(3)]
+                msk = mst_r[0, 0, :, c0:c0 + CHUNK].astype(jnp.int32)
+                qv = _qv_of(vals, msk == 2)
+                if mixed:
+                    # mixed chunk: the EASU branch wrote this chunk just
+                    # before (or never ran — then no pixel has state 1 and
+                    # the stale read is never selected)
+                    ins = msk == 1
+                    for c in range(3):
+                        s_qv[c, :, c0:c0 + CHUNK] = jnp.where(
+                            ins, s_qv[c, :, c0:c0 + CHUNK], qv[c])
+                else:
+                    for c in range(3):
+                        s_qv[c, :, c0:c0 + CHUNK] = qv[c]
 
         def _chunk_loop(mode):
             # mode: "bil" (band fully outside the circle), "easu" (fully
@@ -672,7 +740,8 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                         lambda k=k, c0=c0, w0=w0, p=ppx_c:
                         _easu_chunk(k, c0, w0, p))
                     pl.when(tcls < 2)(
-                        lambda k=k, c0=c0, w0=w0: _bil_chunk(k, c0, w0))
+                        lambda k=k, c0=c0, w0=w0:
+                        _bil_chunk(k, c0, w0, mixed=True))
 
         if _NO_GATING:
             _chunk_loop("easu")
@@ -797,7 +866,29 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 pl.when(tcls == 0)(_without)
             _store(s_bilx[:, :TH])
 
-        if _EPI_CHUNK_GATE and not _NO_GATING:
+        def _epilogue_qv():
+            # r4 default: the chunk loop already wrote the quantized,
+            # foveation-selected stage 1 into s_qv — only RCAS, the final
+            # inside-circle select and the UNORM pack remain band-wide.
+            ms = mst_r[0, 0].astype(jnp.int32)          # (TH_E, OWP)
+            e = s_qv[:, 1:1 + TH]
+            if _SKIP_RCAS:  # profiling only
+                sh = e
+            else:
+                d_t, f_t = BD.htaps_zero_oob(e, OWP, OW)
+                sh = rcas_core(
+                    s_qv[:, 0:TH], d_t, e, f_t, s_qv[:, 2:2 + TH],
+                    sharp_lin, dt=core_dt).astype(jnp.float32)
+            m_in = (ms[1:1 + TH] == 1)[None]
+            if tint is not None:
+                fb = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+            else:
+                fb = e
+            _store(jnp.where(m_in, sh, fb))
+
+        if not _BAND_EPI:
+            _epilogue_qv()
+        elif _EPI_CHUNK_GATE and not _NO_GATING:
             _epilogue_chunk_gated()
         elif _NO_GATING or not _EPI_SPECIALIZE:
             _epilogue("both")
@@ -830,10 +921,14 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             (pltpu.VMEM((2, IH, WP), jnp.uint32) if packed_io
              else pltpu.VMEM((2, 3, IH, WP), jnp.float32)),
             pltpu.VMEM((3 * N_ROW, WP), mm_dtype),        # row-gathered G
-            pltpu.VMEM((3, TH_E, OWP), jnp.float32),      # EASU band
-            pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32),  # bilinear x-lerped
-        ] + ([pltpu.VMEM((3, TH_E, OWP + 256), jnp.float32)]
-             if kn.epi_chunk_gate else []) + [
+        ] + (
+            [pltpu.VMEM((3, TH_E, OWP), jnp.float32),     # EASU band
+             pltpu.VMEM((3, 2 * TH_E, OWP), jnp.float32)]  # bilinear x-lerp
+            + ([pltpu.VMEM((3, TH_E, OWP + 256), jnp.float32)]
+               if kn.epi_chunk_gate else [])
+            if _BAND_EPI else
+            [pltpu.VMEM((3, TH_E, OWP), jnp.float32)]     # quantized stage-1
+        ) + [
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
