@@ -1,4 +1,4 @@
-"""PARITY_r03.json generator — Pallas-on-TPU vs the NumPy scalar oracle.
+"""PARITY_r04.json generator — Pallas-on-TPU vs the NumPy scalar oracle.
 
 The judge is oracle.pipeline.pipeline_oracle: the full reference pipeline
 composed from the scalar-faithful kernel oracles in pure NumPy (IEEE RN
@@ -155,7 +155,7 @@ def main():
 
     # Merge with the existing artifact so a --skip-nis run refreshes the
     # FSR/CAS entries without dropping the NVScaler ones.
-    art = os.path.join(ROOT, "PARITY_r03.json")
+    art = os.path.join(ROOT, "PARITY_r04.json")
     if skip_nis and os.path.exists(art):
         with open(art) as f:
             prev = json.load(f).get("results", {})

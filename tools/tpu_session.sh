@@ -54,6 +54,7 @@ else
     step calibrate    python tools/microbench.py calibrate
     step overlap      python tools/microbench.py overlap
     step bench_8k     python tools/bench_8k.py
+    step half         python tools/half_bench.py
 fi
 
 echo "== done: $fails step(s) failed"
