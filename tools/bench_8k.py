@@ -2,13 +2,19 @@
 
 Production shape: batch=32 8K (7680x4320) frames sharded over a v5p-8 —
 4 frames per chip, rs 0.75 (5760x3240 -> 7680x4320), FSR fused EASU+RCAS.
-On this single-chip environment we run the per-chip local batch (default 4,
-override with --local-batch N) and report per-frame time and Mpix/s; the
-8-way sharded mechanism itself is validated by tests/test_sharding.py and
-__graft_entry__.dryrun_multichip on a virtual mesh (frames are independent,
-so chips never communicate and per-chip time IS the sharded per-chip time).
+On this single-chip environment we run the per-chip local batch and report
+per-frame time and Mpix/s; the 8-way sharded mechanism itself is validated
+by tests/test_sharding.py and __graft_entry__.dryrun_multichip on a virtual
+mesh (frames are independent, so chips never communicate and per-chip time
+IS the sharded per-chip time).
 
-Writes BENCH_8K.json with one JSON line.
+Default sweeps local batch 4, 8 and 16 (the batch=32 production point is
+4/chip on 8 chips; larger local batches extend the single-chip scaling
+curve behind the extrapolation — per-frame time should be flat since the
+kernel grid already saturates the chip at batch 4). Override with
+`--local-batch N` for a single point.
+
+Writes BENCH_8K.json: a list of rows, one per local batch.
 """
 
 import json
@@ -20,15 +26,12 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def main():
+def measure(local_b):
     import jax
     import jax.numpy as jnp
 
     from openvr_fsr_tpu import Config, Pipeline
 
-    local_b = 4
-    if "--local-batch" in sys.argv:
-        local_b = int(sys.argv[sys.argv.index("--local-batch") + 1])
     h_in, w_in = 3240, 5760         # 8K target at renderScale 0.75
     cfg = Config(enabled=True, render_scale=0.75, sharpness=0.9, radius=2.0)
     pipe = Pipeline(cfg)
@@ -59,10 +62,13 @@ def main():
     mpix_s = mpix / (per_frame_ms / 1000.0)
     fleet_fps = 8 * 1000.0 / per_frame_ms  # batch=32 over 8 chips
 
-    print(f"[bench8k] {per_frame_ms:.3f} ms/frame ({mpix_s:.0f} Mpix/s/chip; "
-          f"batch=32 on 8 chips -> {fleet_fps:.0f} fps extrapolated)",
-          file=sys.stderr)
-    line = {
+    print(f"[bench8k] b={local_b}: {per_frame_ms:.3f} ms/frame "
+          f"({mpix_s:.0f} Mpix/s/chip; batch=32 on 8 chips -> "
+          f"{fleet_fps:.0f} fps extrapolated)", file=sys.stderr)
+    # free the device buffers before the next (larger) batch point
+    del inputs, out
+    pipe.reset()
+    return {
         "metric": "fsr_8k_7680x4320_rs075_ms_per_frame",
         "value": round(per_frame_ms, 4),
         "unit": "ms",
@@ -76,9 +82,19 @@ def main():
         "extrapolated_fps_batch32_8chips_from_1chip": round(fleet_fps, 1),
         "measured_chips": 1,
     }
-    print(json.dumps(line))
+
+
+def main():
+    if "--local-batch" in sys.argv:
+        batches = [int(sys.argv[sys.argv.index("--local-batch") + 1])]
+    else:
+        batches = [4, 8, 16]
+    rows = []
+    for b in batches:
+        rows.append(measure(b))
+        print(json.dumps(rows[-1]))
     with open("BENCH_8K.json", "w") as f:
-        json.dump(line, f, indent=1)
+        json.dump(rows if len(rows) > 1 else rows[0], f, indent=1)
 
 
 if __name__ == "__main__":
