@@ -32,6 +32,7 @@ instead of pretending the tunnel is the chip.
 """
 
 import argparse
+import json
 import queue
 import sys
 import threading
@@ -61,6 +62,9 @@ def main():
                          "the stream but pixels are pre-staged on device — "
                          "isolates the device-compute rate on transports "
                          "whose upload path is not representative.")
+    ap.add_argument("--out", default=None,
+                    help="also write the measured rates as a JSON artifact "
+                         "(e.g. STREAM_r04.json)")
     args = ap.parse_args()
 
     import jax
@@ -211,15 +215,40 @@ def main():
           f"{upload_s[0]:.1f}s of {dur:.1f}s", flush=True)
 
     if pairs_s >= args.fps * 0.98:
+        verdict = "pass"
         print(f"PASS: sustained 2-eye x {args.fps:.0f} fps end-to-end")
     elif not args.device_resident and up_gbs < need_gbs:
+        verdict = "transport_bound"
         print(f"transport-bound: upload path measured {up_gbs:.2f} GB/s < "
               f"{need_gbs:.2f} GB/s required; device compute supports "
               f"{dev_pairs:.0f} pairs/s ({2 * dev_pairs:.0f} eye/s) — rerun "
               f"with --device-resident to verify the device leg alone")
     else:
+        verdict = "device_bound"
         print(f"device-bound: kernel rate {dev_pairs:.0f} pairs/s on this "
               f"chip (see tools/microbench.py calibrate for device rates)")
+
+    if args.out:
+        row = {
+            "metric": "stream_sustained_stereo_pairs_per_s_2244x2492",
+            "value": round(pairs_s, 1),
+            "unit": "pairs/s",
+            "target_fps": args.fps,
+            "seconds": args.seconds,
+            "pairs_processed": n,
+            "device_resident": bool(args.device_resident),
+            "device_only_pairs_per_s": round(dev_pairs, 1),
+            "upload_gbs_this_session": round(up_gbs, 3),
+            "p50_ms_per_pair": (round(float(np.percentile(lat_ms, 50)), 3)
+                                if len(lat_ms) else None),
+            "p99_ms_per_pair": (round(float(np.percentile(lat_ms, 99)), 3)
+                                if len(lat_ms) else None),
+            "ring_dropped": st["dropped"],
+            "verdict": verdict,
+        }
+        with open(args.out, "w") as f:
+            json.dump(row, f, indent=1)
+        print(f"wrote {args.out}", flush=True)
     return 0
 
 

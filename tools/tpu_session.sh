@@ -49,7 +49,8 @@ else
     step ab_cas       python tools/ab_cas.py
     step bench_paths  python tools/bench_paths.py
     step parity       python tools/parity_r03.py
-    step stream_dev   python tools/stream_bench.py --seconds 20 --device-resident
+    step stream_dev   python tools/stream_bench.py --seconds 20 \
+        --device-resident --out STREAM_r04.json
     step stream_e2e   python tools/stream_bench.py --seconds 20
     step calibrate    python tools/microbench.py calibrate
     step overlap      python tools/microbench.py overlap
