@@ -175,7 +175,7 @@ def main():
     }
     with open(art, "w") as f:
         json.dump(out, f, indent=1)
-    print("PARITY_r03.json written:",
+    print("PARITY_r04.json written:",
           {k: v["max_lsb"] for k, v in results.items()})
 
 
