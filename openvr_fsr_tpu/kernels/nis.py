@@ -55,6 +55,14 @@ class NisDebugKnobs:
     # small per-chunk matmuls pay 2-4x their compute in launch overhead
     # (tools/ab_fsr.py _MM_ONLY; tools/ab_nis.py --merge-ab).
     no_mm_merge: bool = False
+    # Profiling-only stage ablations for the NVScaler chunk body (output is
+    # WRONG under any of these — they exist to knife-edge the per-stage cost
+    # on-chip, mirroring kernels/fsr.DebugKnobs.mm_only/skip_rcas):
+    mm_only: bool = False         # luma gather matmuls + block merge only
+    skip_normal: bool = False     # FilterNormal -> p[2,2] passthrough
+    skip_f0f90: bool = False      # axial filters f0/f90 -> pixel_n
+    skip_diag: bool = False       # diagonal filters + circulant machinery
+    skip_edge: bool = False       # 4-corner edge map -> constant weights
 
 
 F32 = np.float32
@@ -358,6 +366,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
     kn = knobs or NisDebugKnobs()
     _SKIP_STAGE1 = kn.skip_stage1
+    _MM_ONLY = kn.mm_only
+    _SKIP_NORMAL = kn.skip_normal
+    _SKIP_F0F90 = kn.skip_f0f90
+    _SKIP_DIAG = kn.skip_diag
+    _SKIP_EDGE = kn.skip_edge
 
     B = int(batch)
     H, W, OH, OW = int(in_h), int(in_w), int(out_h), int(out_w)
@@ -623,7 +636,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                           band[2].astype(jnp.float32) * inv_cmax,
                           cfg.hdr_mode)
             ysp = _split3(y01b)
-            if use_vstatic:
+            if use_vstatic or _SKIP_DIAG:
                 w45 = w135 = None      # per-chunk Boh @ V replaces the sandwich
             else:
                 w45 = jnp.concatenate([_mm(boh45_r[0], circ_r[j])
@@ -678,6 +691,11 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                                 p01[dyk, dxk] = (t[0][sl] + t[1][sl]) + t[2][sl]
                     p = {k2: cast(v * n255) for k2, v in p01.items()
                          if k2[0] < 6 and k2[1] < 6}
+                    if _MM_ONLY:   # profiling: gather + merge cost only
+                        acc = (p[2, 2] + p[3, 3]).astype(jnp.float32)
+                        for c in range(4):
+                            s_nis[c, :, c0:c0 + CHUNK] = acc
+                        return
 
                     # half mode: filter math below runs in dt — coefficient
                     # maps and lerp fractions get dt views (compares stay on
@@ -687,24 +705,34 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     cyd, cuyd = [cast(c) for c in cy], [cast(c) for c in cuy]
 
                     # ---- FilterNormal (NIS_Scaler.h:436-453) -------------------
-                    pixel_n = None
-                    for j in range(6):
-                        v_acc = p[0, j] * cyd[0]
-                        for ii in range(1, 6):
-                            v_acc = v_acc + p[ii, j] * cyd[ii]
-                        term = v_acc * cxd[j]
-                        pixel_n = term if pixel_n is None else pixel_n + term
+                    if _SKIP_NORMAL:  # profiling
+                        pixel_n = p[2, 2]
+                    else:
+                        pixel_n = None
+                        for j in range(6):
+                            v_acc = p[0, j] * cyd[0]
+                            for ii in range(1, 6):
+                                v_acc = v_acc + p[ii, j] * cyd[ii]
+                            term = v_acc * cxd[j]
+                            pixel_n = (term if pixel_n is None
+                                       else pixel_n + term)
 
                     # ---- f0 / f90 ----------------------------------------------
-                    interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fxd)
-                               for ii in range(6)]
-                    f0 = eval_poly6_core(interp0, cyd, cuyd, loy, cfg, dt)
-                    interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fyd)
-                                for ii in range(6)]
-                    f90 = eval_poly6_core(interp90, cxd, cuxd, lox, cfg, dt)
+                    if _SKIP_F0F90:  # profiling
+                        f0 = f90 = pixel_n
+                    else:
+                        interp0 = [hlsl_lerp(p[ii, 2], p[ii, 3], fxd)
+                                   for ii in range(6)]
+                        f0 = eval_poly6_core(interp0, cyd, cuyd, loy, cfg, dt)
+                        interp90 = [hlsl_lerp(p[2, ii], p[3, ii], fyd)
+                                    for ii in range(6)]
+                        f90 = eval_poly6_core(interp90, cxd, cuxd, lox,
+                                              cfg, dt)
 
                     # ---- diagonal phases + circulant coefficient planes --------
-                    if use_vstatic:
+                    if _SKIP_DIAG:   # profiling
+                        pass
+                    elif use_vstatic:
                         # Boh @ V: (TH, 64) x (64, NCIRC*CHUNK) — one matmul
                         # per diagonal, j blocks along lanes
                         cc45 = _mm(boh45_r[0], vst_r[k])
@@ -732,75 +760,78 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                                            + cc[(j0 + 2) * TH:(j0 + 3) * TH])
                             return out
 
-                    s45 = fx64 + fy64
-                    s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
-                    ph45 = s45.astype(jnp.int32)
-                    base45 = axi + byi
-                    base45 = jnp.where(base45 >= 64, base45 - 64, base45)
-                    cr45 = (ph45 != base45)[None]
-                    cs45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
-                            zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
-                    cu45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
-                            zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
+                    if _SKIP_DIAG:   # profiling
+                        f45 = f135 = pixel_n
+                    else:
+                        s45 = fx64 + fy64
+                        s45 = jnp.where(s45 >= F32(64.0), s45 - F32(64.0), s45)
+                        ph45 = s45.astype(jnp.int32)
+                        base45 = axi + byi
+                        base45 = jnp.where(base45 >= 64, base45 - 64, base45)
+                        cr45 = (ph45 != base45)[None]
+                        cs45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
+                                zip(coefs(cc45, 1, 0), coefs(cc45, 0, 0))]
+                        cu45 = [cast(jnp.where(cr45[0], a, b)) for a, b in
+                                zip(coefs(cc45, 1, 1), coefs(cc45, 0, 1))]
 
-                    s135 = F32(64.0) + (fx64 - fy64)
-                    s135 = jnp.where(s135 >= F32(64.0), s135 - F32(64.0), s135)
-                    ph135 = s135.astype(jnp.int32)
-                    base135 = axi - byi + 63
-                    base135 = jnp.where(base135 >= 64, base135 - 64, base135)
-                    cs135 = [cast(jnp.where((ph135 != base135), a, b))
-                             for a, b in
-                             zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
-                    cu135 = [cast(jnp.where((ph135 != base135), a, b))
-                             for a, b in
-                             zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
+                        s135 = F32(64.0) + (fx64 - fy64)
+                        s135 = jnp.where(s135 >= F32(64.0), s135 - F32(64.0), s135)
+                        ph135 = s135.astype(jnp.int32)
+                        base135 = axi - byi + 63
+                        base135 = jnp.where(base135 >= 64, base135 - 64, base135)
+                        cs135 = [cast(jnp.where((ph135 != base135), a, b))
+                                 for a, b in
+                                 zip(coefs(cc135, 1, 0), coefs(cc135, 0, 0))]
+                        cu135 = [cast(jnp.where((ph135 != base135), a, b))
+                                 for a, b in
+                                 zip(coefs(cc135, 1, 1), coefs(cc135, 0, 1))]
 
-                    # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
-                    b45f = F32(0.5) + F32(0.5) * (fx - fy)
-                    hi45 = b45f >= F32(0.5)
-                    b45v = cast(b45f)
-                    b45p = cast(jnp.where(hi45, b45f - F32(0.5),
-                                          F32(0.5) - b45f))
-                    t45 = [None] * 7
-                    t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
-                    t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
-                    t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
-                    t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
-                                       hlsl_lerp(p[1, 1], p[2, 0], b45p))
-                    t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
-                                       hlsl_lerp(p[2, 2], p[3, 1], b45p))
-                    t45[4] = jnp.where(hi45, hlsl_lerp(p[3, 3], p[2, 4], b45p),
-                                       hlsl_lerp(p[3, 3], p[4, 2], b45p))
-                    t45[6] = jnp.where(hi45, hlsl_lerp(p[4, 4], p[3, 5], b45p),
-                                       hlsl_lerp(p[4, 4], p[5, 3], b45p))
-                    wrap = (fx + fy) >= F32(1.0)
-                    interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
-                                for ii in range(6)]
-                    f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32,
-                                          cfg, dt)
+                        # ---- diagonal interpolation trees (NIS_Scaler.h:483-583) ---
+                        b45f = F32(0.5) + F32(0.5) * (fx - fy)
+                        hi45 = b45f >= F32(0.5)
+                        b45v = cast(b45f)
+                        b45p = cast(jnp.where(hi45, b45f - F32(0.5),
+                                              F32(0.5) - b45f))
+                        t45 = [None] * 7
+                        t45[1] = hlsl_lerp(p[2, 1], p[1, 2], b45v)
+                        t45[3] = hlsl_lerp(p[3, 2], p[2, 3], b45v)
+                        t45[5] = hlsl_lerp(p[4, 3], p[3, 4], b45v)
+                        t45[0] = jnp.where(hi45, hlsl_lerp(p[1, 1], p[0, 2], b45p),
+                                           hlsl_lerp(p[1, 1], p[2, 0], b45p))
+                        t45[2] = jnp.where(hi45, hlsl_lerp(p[2, 2], p[1, 3], b45p),
+                                           hlsl_lerp(p[2, 2], p[3, 1], b45p))
+                        t45[4] = jnp.where(hi45, hlsl_lerp(p[3, 3], p[2, 4], b45p),
+                                           hlsl_lerp(p[3, 3], p[4, 2], b45p))
+                        t45[6] = jnp.where(hi45, hlsl_lerp(p[4, 4], p[3, 5], b45p),
+                                           hlsl_lerp(p[4, 4], p[5, 3], b45p))
+                        wrap = (fx + fy) >= F32(1.0)
+                        interp45 = [jnp.where(wrap, t45[ii + 1], t45[ii])
+                                    for ii in range(6)]
+                        f45 = eval_poly6_core(interp45, cs45, cu45, ph45 <= 32,
+                                              cfg, dt)
 
-                    b135f = F32(0.5) * (fx + fy)
-                    hi135 = b135f >= F32(0.5)
-                    b135v = cast(b135f)
-                    b135p = cast(jnp.where(hi135, b135f - F32(0.5),
-                                           F32(0.5) - b135f))
-                    t135 = [None] * 7
-                    t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
-                    t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
-                    t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
-                    t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
-                                        hlsl_lerp(p[4, 1], p[3, 0], b135p))
-                    t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
-                                        hlsl_lerp(p[3, 2], p[2, 1], b135p))
-                    t135[4] = jnp.where(hi135, hlsl_lerp(p[2, 3], p[3, 4], b135p),
-                                        hlsl_lerp(p[2, 3], p[1, 2], b135p))
-                    t135[6] = jnp.where(hi135, hlsl_lerp(p[1, 4], p[2, 5], b135p),
-                                        hlsl_lerp(p[1, 4], p[0, 3], b135p))
-                    wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
-                    interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
-                                 for ii in range(6)]
-                    f135 = eval_poly6_core(interp135, cs135, cu135,
-                                           ph135 <= 32, cfg, dt)
+                        b135f = F32(0.5) * (fx + fy)
+                        hi135 = b135f >= F32(0.5)
+                        b135v = cast(b135f)
+                        b135p = cast(jnp.where(hi135, b135f - F32(0.5),
+                                               F32(0.5) - b135f))
+                        t135 = [None] * 7
+                        t135[1] = hlsl_lerp(p[3, 1], p[4, 2], b135v)
+                        t135[3] = hlsl_lerp(p[2, 2], p[3, 3], b135v)
+                        t135[5] = hlsl_lerp(p[1, 3], p[2, 4], b135v)
+                        t135[0] = jnp.where(hi135, hlsl_lerp(p[4, 1], p[5, 2], b135p),
+                                            hlsl_lerp(p[4, 1], p[3, 0], b135p))
+                        t135[2] = jnp.where(hi135, hlsl_lerp(p[3, 2], p[4, 3], b135p),
+                                            hlsl_lerp(p[3, 2], p[2, 1], b135p))
+                        t135[4] = jnp.where(hi135, hlsl_lerp(p[2, 3], p[3, 4], b135p),
+                                            hlsl_lerp(p[2, 3], p[1, 2], b135p))
+                        t135[6] = jnp.where(hi135, hlsl_lerp(p[1, 4], p[2, 5], b135p),
+                                            hlsl_lerp(p[1, 4], p[0, 3], b135p))
+                        wrap = (F32(1.0) + (fx - fy)) >= F32(1.0)
+                        interp135 = [jnp.where(wrap, t135[ii + 1], t135[ii])
+                                     for ii in range(6)]
+                        f135 = eval_poly6_core(interp135, cs135, cu135,
+                                               ph135 <= 32, cfg, dt)
 
                     # ---- edge map at the 4 corners, from the same luma taps ----
                     # corner q = clip(p+ci) reads rows clip(q-1), q, clip(q+1)
@@ -808,18 +839,23 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     # (dy=-1, dy=0, eA); ci=1 -> (eB, dy=+1, dy=+2); columns
                     # likewise — exact at borders, identical to the tap
                     # blocks everywhere else.
-                    esel = ((1, 2, 6), (7, 3, 4))
-                    ws = []
-                    for ci in (0, 1):
-                        for cj in (0, 1):
-                            p3 = {(rr, cc2): p01[esel[ci][rr], esel[cj][cc2]]
-                                  for rr in range(3) for cc2 in range(3)}
-                            ws.append(_edge_weights_jax(*_edge_grads(p3), cfg))
-                    wk = []
-                    for k4 in range(4):
-                        h0 = hlsl_lerp(ws[0][k4], ws[1][k4], fx)
-                        h1 = hlsl_lerp(ws[2][k4], ws[3][k4], fx)
-                        wk.append(hlsl_lerp(h0, h1, fy) * n255)
+                    if _SKIP_EDGE:   # profiling
+                        wk = [F32(0.25) * n255] * 4
+                    else:
+                        esel = ((1, 2, 6), (7, 3, 4))
+                        ws = []
+                        for ci in (0, 1):
+                            for cj in (0, 1):
+                                p3 = {(rr, cc2):
+                                      p01[esel[ci][rr], esel[cj][cc2]]
+                                      for rr in range(3) for cc2 in range(3)}
+                                ws.append(
+                                    _edge_weights_jax(*_edge_grads(p3), cfg))
+                        wk = []
+                        for k4 in range(4):
+                            h0 = hlsl_lerp(ws[0][k4], ws[1][k4], fx)
+                            h1 = hlsl_lerp(ws[2][k4], ws[3][k4], fx)
+                            wk.append(hlsl_lerp(h0, h1, fy) * n255)
 
                     op_y = (f0 * wk[0] + f90 * wk[1] + f45 * wk[2] + f135 * wk[3]
                             + pixel_n * (n255 - wk[0] - wk[1] - wk[2] - wk[3])

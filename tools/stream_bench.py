@@ -89,7 +89,17 @@ def main():
             for i in range(3)]
     for i, x in enumerate(srcs):
         x[0, 0, 0] = i  # tag for --device-resident lookup
-    slot_bytes = srcs[0].nbytes
+    # Device-resident mode isolates the device leg: frames are pre-staged
+    # on device and the ring paces 16-byte tokens (frame ids), not pixels —
+    # otherwise the harness's own 25 MB host memcpy per slot becomes the
+    # bottleneck it exists to exclude. End-to-end mode carries real frames.
+    if args.device_resident:
+        slot_shape, slot_dtype = (4,), np.uint32
+        ring_srcs = [np.full(slot_shape, i, slot_dtype) for i in range(3)]
+    else:
+        slot_shape, slot_dtype = (2, hp, wp), np.uint32
+        ring_srcs = srcs
+    slot_bytes = ring_srcs[0].nbytes
     ring = native_rt.FrameRing(slot_bytes, nslots=args.slots)
     dev_srcs = [jax.device_put(x) for x in srcs]
 
@@ -135,7 +145,7 @@ def main():
         nxt = time.perf_counter()
         i = 0
         while not stop.is_set():
-            ring.push(srcs[i % 3], blocking=False)  # drop when ring is full
+            ring.push(ring_srcs[i % 3], blocking=False)  # drop if ring full
             i += 1
             nxt += period
             dt = nxt - time.perf_counter()
@@ -148,15 +158,15 @@ def main():
     upload_s = [0.0]
 
     def uploader():
-        buf = np.empty((2, hp, wp), np.uint32)
+        buf = np.empty(slot_shape, slot_dtype)
         while not stop.is_set():
-            frame = ring.pop((2, hp, wp), np.uint32, blocking=False, out=buf)
+            frame = ring.pop(slot_shape, slot_dtype, blocking=False, out=buf)
             if frame is None:
                 time.sleep(0.002)
                 continue
             t0 = time.perf_counter()
             if args.device_resident:
-                dev = dev_srcs[int(frame[0, 0, 0]) % 3]
+                dev = dev_srcs[int(frame.reshape(-1)[0]) % 3]
             else:
                 dev = jax.device_put(frame)
                 jax.block_until_ready(dev)
