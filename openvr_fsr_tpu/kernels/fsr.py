@@ -725,13 +725,16 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
         def _chunk_loop(mode):
             # mode: "bil" (band fully outside the circle), "easu" (fully
-            # inside), "both" (mixed — per-chunk pl.when gating)
+            # inside), "both" (mixed — per-chunk pl.when gating),
+            # "bil_mixed" (ungated ablation: keep EASU values per pixel)
             for k in ([] if _SKIP_STAGE1 else range(NCHUNK)):
                 c0 = k * CHUNK
                 w0 = cw0[k]
                 ppx_c = ppx_r[k]
                 if mode == "bil":
                     _bil_chunk(k, c0, w0)
+                elif mode == "bil_mixed":
+                    _bil_chunk(k, c0, w0, mixed=True)
                 elif mode == "easu":
                     _easu_chunk(k, c0, w0, ppx_c)
                 else:
@@ -744,8 +747,13 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                         _bil_chunk(k, c0, w0, mixed=True))
 
         if _NO_GATING:
+            # timing-only ablation must stay bit-identical to production:
+            # in the r4 chunk-resident path the bil pass writes the shared
+            # s_qv scratch, so it must keep the EASU values where the
+            # per-pixel mask selects them (mixed=True); the band-epilogue
+            # path selects in the epilogue and ignores the flag.
             _chunk_loop("easu")
-            _chunk_loop("bil")
+            _chunk_loop("bil" if _BAND_EPI else "bil_mixed")
         else:
             # Scalar-core branches cost ~1 us each; a band fully outside or
             # fully inside the circle (the common case at small/huge radii)

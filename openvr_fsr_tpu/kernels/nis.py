@@ -377,21 +377,30 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     CHUNK = int(chunk)
     NCHUNK = -(-OW // CHUNK)
     OWP = NCHUNK * CHUNK
+    pol = BD.io_policy(color_bits)
+    # Resident circulant-columns gate (the vstack below), sized with the
+    # ACTUAL matmul element width: mm_dtype is f32 for 10-bit builds, so
+    # the resident V is 2x the bf16 size there (advisor r4 finding).
+    _NCIRC = 72     # 2 carry variants x 2 tables x 6 taps x 3 bf16 splits
+    mm_merge = not kn.no_mm_merge
+    vstack_bytes = (NCHUNK * 64 * _NCIRC * CHUNK
+                    * np.dtype(pol.mm_dtype).itemsize)
+    use_vstatic = mm_merge and vstack_bytes <= 24 * 2**20
     # VMEM auto-shrink (mirrors kernels/fsr.py): the kernel's scoped-VMEM
     # stack scales ~linearly with band_rows x padded width (per-chunk luma/
     # coefficient temporaries + the band scratches). The flagship geometry
     # (band 128, OWP 2304) is measured to fit the 100 MB limit; wider
     # outputs (the 8K stretch aspect) halve the band until the linear
-    # estimate fits.
+    # estimate fits. The resident vstack is band-independent, so it joins
+    # the estimate as a constant term.
     while not kn.no_vmem_shrink and band_rows > 16 and \
-            70.0 * (band_rows / 128.0) * (OWP / 2304.0) > 80.0:
+            70.0 * (band_rows / 128.0) * (OWP / 2304.0) \
+            + (vstack_bytes / 2**20 if use_vstatic else 0.0) > 80.0:
         band_rows = int(band_rows) // 2
     TH = OH if OH <= int(band_rows) else int(band_rows)
     GY = -(-OH // TH)
     TOTAL = B * GY
     cfg = nis_cfg
-
-    pol = BD.io_policy(color_bits)
     cmax, inv_cmax, inv_amax = pol.cmax, pol.inv_cmax, pol.inv_amax
     exact_bf16 = pol.exact_bf16
     tint = (F32(0.7), F32(0.7)) if debug else None
@@ -525,8 +534,7 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
     # values), ~150 fewer matmul launches per band. Falls back to the
     # sandwich when the resident V would blow the VMEM budget (very wide
     # outputs, e.g. the 8K aspect).
-    mm_merge = not kn.no_mm_merge
-    use_vstatic = mm_merge and NCHUNK * 64 * NCIRC * CHUNK * 2 <= 24 * 2**20
+    assert NCIRC == _NCIRC, (NCIRC, _NCIRC)   # gate above sized with _NCIRC
     vstack = None
     if use_vstatic:
         vstack = np.zeros((NCHUNK, 64, NCIRC * CHUNK), np.float32)

@@ -106,14 +106,29 @@ def _easu_weights(L, ppx, ppy, dt):
     lob = dt(0.5) + dt((1.0 / 4.0 - 0.04) - 0.5) * length
     clp = _rcp_lo(lob)
 
+    # Shared per-offset product planes: in FsrEasuTapF (ffx_fsr1.h:250-253)
+    #   vx = off_x*dir_x + off_y*dir_y,  vy = off_x*(-dir_y) + off_y*dir_x
+    # and off_x/off_y depend on dx/dy ALONE — so the four products are
+    # computed once per distinct offset component (4 dx values, 4 dy
+    # values) instead of once per tap. The per-tap work shrinks to two
+    # adds. Bit-identical: the product values and the final-add rounding
+    # are exactly the original op-for-op sequence, just de-duplicated
+    # (measured ~0.2 ms/pair on the fused kernel, tools/ab_fsr.py r5).
+    ndir_y = -dir_y
+    _dxs, _dys = (-1, 0, 1, 2), (-1, 0, 1, 2)
+    offx = {dx: dt(float(dx)) - ppx for dx in _dxs}
+    offy = {dy: dt(float(dy)) - ppy for dy in _dys}
+    pvx_x = {dx: offx[dx] * dir_x for dx in _dxs}
+    pvx_y = {dy: offy[dy] * dir_y for dy in _dys}
+    pvy_x = {dx: offx[dx] * ndir_y for dx in _dxs}
+    pvy_y = {dy: offy[dy] * dir_x for dy in _dys}
+
     def tap_w(dx, dy):
         """The (dx, dy) tap weight — computed on demand so only one weight
         plane is live at a time in the accumulation loops (exact FsrEasuTapF
-        op order, ffx_fsr1.h:239-272)."""
-        off_x = dt(float(dx)) - ppx
-        off_y = dt(float(dy)) - ppy
-        vx = off_x * dir_x + off_y * dir_y
-        vy = off_x * (-dir_y) + off_y * dir_x
+        op order, ffx_fsr1.h:239-272, with the shared products above)."""
+        vx = pvx_x[dx] + pvx_y[dy]
+        vy = pvy_x[dx] + pvy_y[dy]
         vx = vx * len2_x
         vy = vy * len2_y
         d2 = jnp.minimum(vx * vx + vy * vy, clp)

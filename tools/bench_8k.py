@@ -93,8 +93,10 @@ def main():
     for b in batches:
         rows.append(measure(b))
         print(json.dumps(rows[-1]))
+    # Always a list, regardless of the number of batch points, so the
+    # artifact's shape never depends on invocation flags (advisor r4).
     with open("BENCH_8K.json", "w") as f:
-        json.dump(rows if len(rows) > 1 else rows[0], f, indent=1)
+        json.dump(rows, f, indent=1)
 
 
 if __name__ == "__main__":

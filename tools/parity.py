@@ -1,4 +1,4 @@
-"""PARITY_r04.json generator — Pallas-on-TPU vs the NumPy scalar oracle.
+"""Parity artifact generator — Pallas-on-TPU vs the NumPy scalar oracle.
 
 The judge is oracle.pipeline.pipeline_oracle: the full reference pipeline
 composed from the scalar-faithful kernel oracles in pure NumPy (IEEE RN
@@ -16,8 +16,9 @@ Oracle outputs are cached in /tmp/parity_oracle_cache.npz (pure host
 work, ~minutes on one core). Run on the TPU host: the Pallas side uses
 the default backend (= pallas on TPU).
 
-Usage: python tools/parity_r03.py [--skip-nis] (skip NVScaler's minutes-long
-compile when iterating on the others)
+Usage: python tools/parity.py [--skip-nis] [--out PARITY_rNN.json]
+(--skip-nis skips NVScaler's minutes-long compile when iterating on the
+others; --out defaults to PARITY.json)
 """
 
 import glob
@@ -66,6 +67,8 @@ def main():
     from openvr_fsr_tpu.utils import frames as FR
 
     skip_nis = "--skip-nis" in sys.argv
+    out_name = (sys.argv[sys.argv.index("--out") + 1]
+                if "--out" in sys.argv else "PARITY.json")
     # --oracle-only: fill the oracle cache (pure host work) without
     # touching the device — lets the cache build while the TPU is busy
     # or unreachable, so the on-TPU run is short.
@@ -155,7 +158,7 @@ def main():
 
     # Merge with the existing artifact so a --skip-nis run refreshes the
     # FSR/CAS entries without dropping the NVScaler ones.
-    art = os.path.join(ROOT, "PARITY_r04.json")
+    art = os.path.join(ROOT, out_name)
     if skip_nis and os.path.exists(art):
         with open(art) as f:
             prev = json.load(f).get("results", {})
@@ -175,7 +178,7 @@ def main():
     }
     with open(art, "w") as f:
         json.dump(out, f, indent=1)
-    print("PARITY_r04.json written:",
+    print(f"{out_name} written:",
           {k: v["max_lsb"] for k, v in results.items()})
 
 

@@ -2,7 +2,7 @@
 # One-shot TPU measurement session — run on a host with the tunnel chip up.
 # Regenerates every device artifact in dependency order, logging to
 # /tmp/tpu_session/. Prime the oracle cache first (CPU, no device needed):
-#   JAX_PLATFORMS=cpu python tools/parity_r03.py --oracle-only
+#   JAX_PLATFORMS=cpu python tools/parity.py --oracle-only
 # NVScaler steps compile for minutes; total session ~20-40 min.
 # `sh tools/tpu_session.sh quick` runs a <15-min priority subset (skips
 # everything that compiles NVScaler). Exits non-zero with a count of
@@ -41,16 +41,16 @@ if [ "$1" = "quick" ]; then
     step ab_cas       python tools/ab_cas.py
     step bench_paths  python tools/bench_paths.py --paths \
         fsr_fused,fsr_supersample,rcas_only,nvsharpen,cas_upscale,cas_sharpen
-    step parity       python tools/parity_r03.py --skip-nis
+    step parity       python tools/parity.py --skip-nis --out PARITY_r05.json
     step overlap      python tools/microbench.py overlap
     step stream_dev   python tools/stream_bench.py --seconds 15 --device-resident
 else
     step bench        python bench.py
     step ab_cas       python tools/ab_cas.py
     step bench_paths  python tools/bench_paths.py
-    step parity       python tools/parity_r03.py
+    step parity       python tools/parity.py --out PARITY_r05.json
     step stream_dev   python tools/stream_bench.py --seconds 20 \
-        --device-resident --out STREAM_r04.json
+        --device-resident --out STREAM_r05.json
     step stream_e2e   python tools/stream_bench.py --seconds 20
     step calibrate    python tools/microbench.py calibrate
     step overlap      python tools/microbench.py overlap
