@@ -126,6 +126,22 @@ class DebugKnobs:
     # scratch that the RCAS epilogue consumes directly. epi_specialize /
     # epi_chunk_gate are band-epilogue experiments and imply this knob.
     band_epilogue: bool = False
+    # --- per-stage floor probes (r5, VERDICT item 1) -----------------------
+    # Unlike the cumulative skip_* knife-edges above, these keep each
+    # stage's *machine* (gathers, scratch traffic, rotates, selects,
+    # stores) and replace only its math with a near-zero-flop consume, so
+    # the gap (stage − probe) is the stage's pure math cost and the probe
+    # itself is the stage's standalone floor. Output is WRONG under either.
+    core_one_fma: bool = False    # easu_core -> mean of the 12 taps
+    rcas_move: bool = False       # rcas_core -> 5-tap average (keeps the
+                                  # scratch reads + lane rotates + select)
+    # Disable the r5 band-class-gated epilogue (the production default):
+    # bands fully outside the foveation circle skip the RCAS math and
+    # store the quantized passthrough directly — bit-exact, since their
+    # all-false inside-mask discarded the sharpened values anyway (the
+    # reference wrapper likewise never runs RCAS outside the circle,
+    # fsr_rcas.hlsl:44-47). Set True to A/B the unconditional epilogue.
+    no_epi_band_gate: bool = False
 
 
 def _bilinear_axis(out_n, in_n):
@@ -209,6 +225,9 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
     _EPI_SPECIALIZE = kn.epi_specialize
     _EPI_CHUNK_GATE = kn.epi_chunk_gate
     _FORCE_HIGHEST = kn.force_highest
+    _CORE_ONE_FMA = kn.core_one_fma
+    _RCAS_MOVE = kn.rcas_move
+    _EPI_BAND_GATE = not kn.no_epi_band_gate
     # band-wide epilogue (r3 structure) — implied by its sub-experiments
     _BAND_EPI = kn.band_epilogue or kn.epi_specialize or kn.epi_chunk_gate
     # The 12-tap gather split and the derived-columns experiment both
@@ -644,6 +663,15 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                             for c in range(3)]
             if _MM_ONLY:  # profiling: isolate the gather-matmul cost
                 return [taps[(0, 0)][c] for c in range(3)]
+            if _CORE_ONE_FMA:
+                # stage-1 machine floor probe: consume every tap (so no
+                # gather matmul can be elided) with a 12-term mean instead
+                # of the EASU weight math
+                acc = [taps[TAP_ORDER[0]][c] for c in range(3)]
+                for od in TAP_ORDER[1:]:
+                    for c in range(3):
+                        acc[c] = acc[c] + taps[od][c]
+                return [a * F32(1.0 / 12.0) for a in acc]
             # channel-split core: no (3, TH_E, CHUNK) stacks materialize.
             # exact_div: the resolve's true division is the one op whose
             # TPU rounding drifts from IEEE (numerics_probe) — corrected
@@ -882,6 +910,12 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             e = s_qv[:, 1:1 + TH]
             if _SKIP_RCAS:  # profiling only
                 sh = e
+            elif _RCAS_MOVE:
+                # epilogue machine-floor probe: keep the scratch reads,
+                # lane rotates, select and store; RCAS math -> 5-tap mean
+                d_t, f_t = BD.htaps_zero_oob(e, OWP, OW)
+                sh = (((s_qv[:, 0:TH] + d_t) + (f_t + s_qv[:, 2:2 + TH]))
+                      + e) * F32(0.2)
             else:
                 d_t, f_t = BD.htaps_zero_oob(e, OWP, OW)
                 sh = rcas_core(
@@ -894,8 +928,22 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
                 fb = e
             _store(jnp.where(m_in, sh, fb))
 
+        def _epilogue_qv_outside():
+            # r5 band-class fast path: a band fully outside the circle has
+            # an all-false inside-mask, so RCAS and the select are dead —
+            # store the quantized passthrough (+ tint) directly
+            e = s_qv[:, 1:1 + TH]
+            if tint is not None:
+                e = jnp.stack([e[0], e[1] * tint[0], e[2] * tint[1]], 0)
+            _store(e)
+
         if not _BAND_EPI:
-            _epilogue_qv()
+            if _EPI_BAND_GATE and not (_SKIP_EPILOGUE or _NO_GATING):
+                bcls_e = bcls_ref[step]
+                pl.when(bcls_e == 0)(_epilogue_qv_outside)
+                pl.when(bcls_e != 0)(_epilogue_qv)
+            else:
+                _epilogue_qv()
         elif _EPI_CHUNK_GATE and not _NO_GATING:
             _epilogue_chunk_gated()
         elif _NO_GATING or not _EPI_SPECIALIZE:

@@ -79,6 +79,17 @@ def main():
     report("no-gating (easu+bil all chunks)", _NO_GATING=True)
     report("radius=2.0 (all inside)", radius=2.0)
     report("radius=0.0 (all outside: bilinear)", radius=0.0)
+    # r5 per-stage floor probes (VERDICT item 1): each keeps the stage's
+    # machine and zeroes its math, so stage-vs-floor gaps are standalone
+    report("r4 epilogue (no band gate)", _NO_EPI_BAND_GATE=True)
+    report("floor: gather mm only (stage1)", _MM_ONLY=True,
+           _SKIP_EPILOGUE=True)
+    report("floor: gathers + 12-tap fma core", _CORE_ONE_FMA=True,
+           _SKIP_EPILOGUE=True)
+    report("floor: full stage1 + rcas->move", _RCAS_MOVE=True)
+    report("floor: fma core + rcas->move", _CORE_ONE_FMA=True,
+           _RCAS_MOVE=True)
+    report("no row-gather prologue", _SKIP_PROLOGUE=True)
     if not quick:
         report("band=64", band_rows=64)
         report("band=256", band_rows=256)
