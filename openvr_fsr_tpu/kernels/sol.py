@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _band as BD
 
-__all__ = ["build_dma_floor"]
+__all__ = ["build_dma_floor", "build_vpu_rate", "vpu_cycle"]
 
 
 def build_dma_floor(geom, interpret=False):
@@ -99,4 +99,73 @@ def build_dma_floor(geom, interpret=False):
     # The traffic this floor represents (bytes), for effective-GB/s reports.
     fn.read_bytes = TOTAL * IH * WP * 4
     fn.write_bytes = B * OH * OW * 4
+    return fn
+
+
+def vpu_cycle(streams, x):
+    """One op-mix cycle of the VPU-rate probe, applied to 8 independent
+    f32 streams (ILP 8, like the core's independent tap/weight planes).
+
+    The mix approximates the EASU core's measured jaxpr distribution
+    (tools/vpu_audit.py: ~45% mul, ~30% add, rest sub/min/max/abs), with
+    mul->add adjacency so Mosaic can fuse FMAs exactly where the core's
+    weight polynomials do. Kept as a pure jnp function so the audit tool
+    counts its ops with the SAME jaxpr meter it runs over easu_core_split
+    — any counting bias cancels in the efficiency ratio.
+    """
+    c1, c2 = np.float32(1.0009765625), np.float32(-0.4990234375)
+    out = []
+    for j, s in enumerate(streams):
+        if j % 4 == 0:
+            s = s * c1 + x            # fma
+            s = s * c2 + x            # fma
+        elif j % 4 == 1:
+            s = jnp.minimum(s * c1, x) + s
+        elif j % 4 == 2:
+            s = jnp.maximum(jnp.abs(s - x) * c2, x)
+        else:
+            s = (s - x) * c1 + (x * c2)
+        out.append(s)
+    return out
+
+
+def build_vpu_rate(k, th_e=130, chunk=128, steps=256, interpret=False):
+    """Sustained VPU elementwise-throughput probe at band-kernel shapes.
+
+    Each grid step runs `k` vpu_cycle passes on (th_e, chunk) f32 planes —
+    the exact shape the fused-FSR core computes per chunk — off one VMEM
+    seed block, storing only an (8, chunk) reduction so stores stay
+    negligible. Timing two k values and taking the slope cancels launch,
+    DMA and store overhead: rate = d(ops)/d(time). tools/vpu_audit.py uses
+    this rate to convert the EASU/RCAS cores' jaxpr op counts into a
+    compute floor the way build_dma_floor bounds memory traffic.
+    """
+    k = int(k)
+
+    def kernel(x_ref, out_ref):
+        x = x_ref[...]
+        streams = [x * np.float32(0.125 * (j + 1)) for j in range(8)]
+        for _ in range(k):
+            streams = vpu_cycle(streams, x)
+        acc = streams[0]
+        for s in streams[1:]:
+            acc = acc + s
+        out_ref[...] = acc[:8]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(int(steps),),
+        in_specs=[pl.BlockSpec((th_e, chunk), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((8, chunk), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, chunk), jnp.float32),
+        interpret=interpret,
+    )
+
+    def fn(x):
+        assert x.shape == (th_e, chunk), x.shape
+        return call(x)
+
+    fn.elems = th_e * chunk
+    fn.steps = int(steps)
+    fn.k = k
     return fn

@@ -40,14 +40,18 @@ if [ "$1" = "quick" ]; then
     step bench        python bench.py
     step ab_cas       python tools/ab_cas.py
     step bench_paths  python tools/bench_paths.py --paths \
-        fsr_fused,fsr_supersample,rcas_only,nvsharpen,cas_upscale,cas_sharpen
+        fsr_fused,fsr_supersample,rcas_only,nvsharpen,cas_upscale,cas_sharpen \
+        --out BENCH_PATHS_r05.json
     step parity       python tools/parity.py --skip-nis --out PARITY_r05.json
     step overlap      python tools/microbench.py overlap
-    step stream_dev   python tools/stream_bench.py --seconds 15 --device-resident
+    step stream_dev   python tools/stream_bench.py --seconds 15 \
+        --device-resident --out STREAM_r05.json
+    step vpu_audit    python tools/vpu_audit.py --quick --out VPU_AUDIT_r05.json
+    step spatial      python tools/spatial_onchip.py
 else
     step bench        python bench.py
     step ab_cas       python tools/ab_cas.py
-    step bench_paths  python tools/bench_paths.py
+    step bench_paths  python tools/bench_paths.py --out BENCH_PATHS_r05.json
     step parity       python tools/parity.py --out PARITY_r05.json
     step stream_dev   python tools/stream_bench.py --seconds 20 \
         --device-resident --out STREAM_r05.json
@@ -55,8 +59,15 @@ else
     step calibrate    python tools/microbench.py calibrate
     step overlap      python tools/microbench.py overlap
     step bench_8k     python tools/bench_8k.py
-    step half         python tools/half_bench.py
+    step half         python tools/half_bench.py --out HALF_r05.json
+    step vpu_audit    python tools/vpu_audit.py --out VPU_AUDIT_r05.json
+    step spatial      python tools/spatial_onchip.py
+    step floors       python tools/profile_fsr.py --quick
 fi
+
+# README perf prose is generated from the artifacts just written, so the
+# docs can never disagree with the session they cite.
+step gen_docs     python tools/gen_perf_docs.py
 
 echo "== done: $fails step(s) failed"
 exit $fails
