@@ -63,6 +63,29 @@ class NisDebugKnobs:
     skip_f0f90: bool = False      # axial filters f0/f90 -> pixel_n
     skip_diag: bool = False       # diagonal filters + circulant machinery
     skip_edge: bool = False       # 4-corner edge map -> constant weights
+    # Opt-in r5 derived-rows luma gather: the 8 luma row blocks (6 dy taps
+    # + eA/eB edge rows) are views of ONE extended gather — pyi is monotone
+    # with steps <= 1 (NIS only downs-to-upscales, NIS_Config.h:226), so
+    # block row t equals the extended gather at t + 3 + s with a 2-valued
+    # per-block shift s, selected by a host mask (the kernels/fsr.py
+    # derived-rows prologue, applied to BOTH the row gather and the row
+    # dim of the per-chunk column matmul: 8*TH -> TH+8 rows, ~7x fewer
+    # gather MACs). Bit-identical on the cropped output: one-hot gathers
+    # select single values and the split-sum commutes with slicing.
+    # Default OFF: measured 53 ms/pair vs 7.7 legacy on-chip at headline
+    # geometry (r5 session) — the per-dy sublane slices + mask selects on
+    # the f32 matmul output relayout-bound the kernel; the gather-MAC
+    # saving is irrelevant because the column matmuls are not the
+    # bottleneck. Kept as a knob for the floor-attribution A/B
+    # (tools/ab_nis.py --derive-rows) and as the starting point for a
+    # shift-as-one-hot-matmul variant.
+    derive_rows: bool = False
+    # timing-only isolation probes for the derived-rows machine (outputs
+    # WRONG): drop the two-shift mask selects / force 8-aligned sublane
+    # slice starts, to attribute its measured cost between select ops and
+    # unaligned-slice relayouts
+    derive_noselect: bool = False
+    derive_aligned: bool = False
 
 
 F32 = np.float32
@@ -450,6 +473,61 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         np.clip(pyi[rows_out[:, -1]] + 3, 0, H - 1),
         np.clip(oy0[rows_out[:, -1]] + 1, 0, H - 1),
         np.clip(fy0[rows_out[:, -1]] + 1, 0, H - 1)])
+
+    # ---- derived-rows structure (the kernels/fsr.py prologue trick) ----------
+    # pyi is monotone with steps <= 1 (scale in [0.5, 1), NIS_Config.h:226),
+    # so each of the 8 luma row blocks (6 dy taps + the eA/eB edge-clamp
+    # rows) is a view of ONE extended gather ext[j] = clip(pyi[g*TH-3+j]):
+    # block row t == ext[t + 3 + s] with a per-block shift s taking one of
+    # two host-verified values, selected by a host mask. The row gather AND
+    # the row dimension of the per-chunk column matmul shrink from 8*TH to
+    # TH+8 — ~7x fewer gather MACs, bit-identical output (one-hot gathers
+    # select single values; the 3-split sum commutes with row slicing).
+    EXT_R = TH + 8                       # j = t + 3 + s, s in [-3, 4]
+    EXT_RP = BD.round_up(EXT_R, 8)
+    rows_ext = np.clip(np.arange(GY)[:, None] * TH - 3
+                       + np.arange(EXT_R)[None, :], 0, OH - 1)
+    extc = np.clip(pyi[rows_ext], 0, H - 1)            # (GY, EXT_R)
+    r_all = rows_out
+    _tgts = [np.clip(pyi[r_all] + dy, 0, H - 1) for dy in _NIS_DYS]
+    _tgts += [np.clip(np.clip(pyi[r_all], 0, H - 1) + 1, 0, H - 1),
+              np.clip(np.clip(pyi[r_all] + 1, 0, H - 1) - 1, 0, H - 1)]
+
+    # Rows at band*TH + t >= OH are clamp-duplicated padding (GY*TH rounds
+    # OH up); they are cropped from the output, so the shift match is only
+    # required on real rows — without this exemption the last band's
+    # clamped tail makes e.g. the dy=-2 block underivable and the whole
+    # machine silently falls back (the r5 "neutral" A/B artifact measured
+    # legacy vs legacy for exactly this reason).
+    _rows_valid = (np.arange(GY)[:, None] * TH
+                   + np.arange(TH)[None, :]) < OH        # (GY, TH)
+
+    def _find_shifts(tgt):
+        """Global (s1, s2, mask) with extc[:, 3+s : 3+s+TH] == tgt under
+        mask-selected s1 else s2 on all non-padding rows, or None if no
+        2-shift pair covers."""
+        match = {s: extc[:, 3 + s:3 + s + TH] == tgt for s in range(-3, 5)}
+        svals = sorted((s for s in match if match[s].any()),
+                       key=lambda s: -int(match[s].sum()))
+        for s1 in svals:
+            for s2 in svals:
+                if (match[s1] | match[s2] | ~_rows_valid).all():
+                    return s1, s2, match[s1]
+        return None
+
+    _rmeta, dmask = [], np.zeros((GY, 8, TH, 1), np.float32)
+    derive_rows = mm_merge and kn.derive_rows
+    for blk, tgt in enumerate(_tgts):
+        found = _find_shifts(tgt) if derive_rows else None
+        if found is None:
+            derive_rows = False
+            break
+        s1, s2, m1 = found
+        _rmeta.append((int(s1), int(s2), s1 != s2))
+        dmask[:, blk, :, 0] = m1
+    if derive_rows:  # the extended gather may reach a few rows further out
+        ylo = np.minimum(ylo, extc.min(axis=1))
+        yhi = np.maximum(yhi, extc.max(axis=1))
     IH, oy_all = BD.row_windows(ylo, yhi, HP)
 
     # ---- per-chunk input column windows ----------------------------------------
@@ -489,15 +567,30 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         loc = np.clip(rows, 0, H - 1) - oy_all[band]
         return loc[:, None] == np.arange(IH)[None, :]
 
-    rstack = np.zeros((GY, 12 * TH, IH), np.float32)
-    for i in range(GY):
-        r = rows_out[i]
-        blocks = [_row_oh(pyi[r] + dy, i) for dy in _NIS_DYS]
-        blocks += [_row_oh(np.clip(pyi[r], 0, H - 1) + 1, i),
-                   _row_oh(np.clip(pyi[r] + 1, 0, H - 1) - 1, i)]
-        blocks += [_row_oh(oy0[r], i), _row_oh(oy0[r] + 1, i),
-                   _row_oh(fy0[r], i), _row_oh(fy0[r] + 1, i)]
-        rstack[i] = np.concatenate(blocks, axis=0)
+    if derive_rows:
+        # [extended luma gather (EXT_RP) | y0op | y1op | y0fb | y1fb]
+        N_RSTK = EXT_RP + 4 * TH
+        rstack = np.zeros((GY, N_RSTK, IH), np.float32)
+        for i in range(GY):
+            ext_oh = np.zeros((EXT_RP, IH), np.float32)
+            ext_oh[:EXT_R] = _row_oh(extc[i], i)
+            blocks = [ext_oh,
+                      _row_oh(oy0[rows_out[i]], i),
+                      _row_oh(oy0[rows_out[i]] + 1, i),
+                      _row_oh(fy0[rows_out[i]], i),
+                      _row_oh(fy0[rows_out[i]] + 1, i)]
+            rstack[i] = np.concatenate(blocks, axis=0)
+    else:
+        N_RSTK = 12 * TH
+        rstack = np.zeros((GY, N_RSTK, IH), np.float32)
+        for i in range(GY):
+            r = rows_out[i]
+            blocks = [_row_oh(pyi[r] + dy, i) for dy in _NIS_DYS]
+            blocks += [_row_oh(np.clip(pyi[r], 0, H - 1) + 1, i),
+                       _row_oh(np.clip(pyi[r] + 1, 0, H - 1) - 1, i)]
+            blocks += [_row_oh(oy0[r], i), _row_oh(oy0[r] + 1, i),
+                       _row_oh(fy0[r], i), _row_oh(fy0[r] + 1, i)]
+            rstack[i] = np.concatenate(blocks, axis=0)
 
     sstack = np.zeros((NCHUNK, KC, 12 * CHUNK), np.float32)
     for k in range(NCHUNK):
@@ -590,6 +683,8 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, boh45_r, boh135_r, *rest):
+        rest = list(rest)
+        dmk_r = rest.pop(0) if derive_rows else None
         if use_vstatic:
             vst_r, rowp_r, colp_r, out_ref, inbuf, s_nis, s_fb, sems = rest
             aoh_r = circ_r = None
@@ -605,9 +700,15 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                                 total=TOTAL)
         band = BD.band_channels(inbuf, slot, packed_io, 4)
 
-        r_taps = rst_r[0][:8 * TH]      # 6 dy blocks + eA + eB (edge rows)
-        r_op = rst_r[0][8 * TH:10 * TH]
-        r_fb = rst_r[0][10 * TH:]
+        if derive_rows:
+            r_ext = rst_r[0][:EXT_RP]   # ONE extended luma row gather
+            r_taps = None
+            r_op = rst_r[0][EXT_RP:EXT_RP + 2 * TH]
+            r_fb = rst_r[0][EXT_RP + 2 * TH:]
+        else:
+            r_taps = rst_r[0][:8 * TH]  # 6 dy blocks + eA + eB (edge rows)
+            r_op = rst_r[0][8 * TH:10 * TH]
+            r_fb = rst_r[0][10 * TH:]
 
         rp = rowp_r[0]                           # (18, TH, 1)
         fy, fy64 = rp[0], rp[1]
@@ -670,12 +771,50 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                     # 6, 7); col blocks 6, 7 are the eA'/eB' edge columns.
                     # Edge-only taps are materialized just for the (row, col)
                     # pairs the 4 corner 3x3 neighborhoods read.
-                    g = [_mm(r_taps, ysp[s][:, w0:w0 + KC]) for s in range(3)]
                     p01 = {}
-                    if mm_merge:
+                    if derive_rows:
+                        # r5: the extended gather carries TH+8 rows instead
+                        # of 8*TH; each of the 8 row blocks is ONE static
+                        # sublane slice (+ one mask select for two-shift
+                        # blocks) of the summed column-matmul output, taken
+                        # at FULL 8*CHUNK width so the per-dx extraction
+                        # below is pure 128-aligned lane slicing (a free
+                        # view, no relayout). Summing the 3 bf16 splits
+                        # before slicing is bit-identical (slicing commutes
+                        # with the adds). First cut sliced per (dy, dx) —
+                        # ~44 sublane-rotate relayouts per chunk, measured
+                        # 55 ms/pair vs 7.7 legacy on-chip; this form keeps
+                        # it to 8 per chunk.
+                        ge = [_mm(r_ext, ysp[s][:, w0:w0 + KC])
+                              for s in range(3)]
+                        t3 = [_mm(gs, sall[:, :8 * CHUNK]) for gs in ge]
+                        tme = (t3[0] + t3[1]) + t3[2]   # (EXT_RP, 8*CHUNK)
+
+                        blk = {}
+                        for dyk in range(8):
+                            s1, s2, need = _rmeta[dyk]
+                            st1, st2 = 3 + s1, 3 + s2
+                            if kn.derive_aligned:       # timing probe only
+                                st1, st2 = st1 & ~7, st2 & ~7
+                            a = tme[st1:st1 + TH]
+                            if need and not kn.derive_noselect:
+                                b = tme[st2:st2 + TH]
+                                a = jnp.where(dmk_r[0, dyk] > F32(0.5),
+                                              a, b)
+                            blk[dyk] = a                # (TH, 8*CHUNK)
+
+                        for dxk in range(8):
+                            dyks = ((range(6) if dxk in (0, 5) else range(8))
+                                    if dxk < 6 else (1, 2, 3, 4, 6, 7))
+                            cs3 = slice(dxk * CHUNK, (dxk + 1) * CHUNK)
+                            for dyk in dyks:
+                                p01[dyk, dxk] = blk[dyk][:, cs3]
+                    elif mm_merge:
                         # ONE column matmul per split over all 8 dx blocks
                         # (24 -> 3 launches; identical MACs — the old form
                         # already computed every row for each block)
+                        g = [_mm(r_taps, ysp[s][:, w0:w0 + KC])
+                             for s in range(3)]
                         tm = [_mm(gs, sall[:, :8 * CHUNK]) for gs in g]
                         for dxk in range(8):
                             dyks = ((range(6) if dxk in (0, 5) else range(8))
@@ -687,6 +826,8 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                                                   + tm[1][sl, cs3])
                                                  + tm[2][sl, cs3])
                     else:
+                        g = [_mm(r_taps, ysp[s][:, w0:w0 + KC])
+                             for s in range(3)]
                         for dxk in range(8):
                             scol = sall[:, dxk * CHUNK:(dxk + 1) * CHUNK]
                             t = [_mm(gs, scol) for gs in g]
@@ -950,11 +1091,13 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec((1, 1, TH, OWP), lambda b, i, *_: (b, i, 0, 0)),
-            pl.BlockSpec((1, 12 * TH, IH), lambda b, i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, N_RSTK, IH), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((NCHUNK, KC, 12 * CHUNK), lambda b, i, *_: (0, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
             pl.BlockSpec((1, TH, 64), lambda b, i, *_: (i, 0, 0)),
-        ] + ([pl.BlockSpec((NCHUNK, 64, NCIRC * CHUNK),
+        ] + ([pl.BlockSpec((1, 8, TH, 1), lambda b, i, *_: (i, 0, 0, 0))]
+             if derive_rows else []) \
+          + ([pl.BlockSpec((NCHUNK, 64, NCIRC * CHUNK),
                            lambda b, i, *_: (0, 0, 0))]
              if use_vstatic else
              [pl.BlockSpec((NCHUNK, 64, CHUNK), lambda b, i, *_: (0, 0, 0)),
@@ -989,13 +1132,19 @@ def build_nvscaler(batch, in_h, in_w, out_w, out_h, *, nis_cfg: NisConfig,
                jnp.asarray(band_cls), jnp.asarray(mstate),
                jnp.asarray(rstack, mm_dtype), jnp.asarray(sstack, mm_dtype),
                jnp.asarray(boh45, mm_dtype), jnp.asarray(boh135, mm_dtype)] \
+        + ([jnp.asarray(dmask)] if derive_rows else []) \
         + ([jnp.asarray(vstack, mm_dtype)] if use_vstatic else
            [jnp.asarray(aoh, mm_dtype), jnp.asarray(circ_stack, mm_dtype)]) \
         + [jnp.asarray(rowpack), jnp.asarray(colpack)]
 
-    return BD.make_io_fn(
+    fn = BD.make_io_fn(
         lambda img: call(statics[0], statics[1], statics[2], img,
                          *statics[3:]),
         H, W, HP, WP, packed_io,
         geom=dict(batch=B, gy=GY, ih=IH, th=TH, out_h=OH, out_w=OW,
                   oy=np.asarray(oy_all)))
+    # Published so tests/tools can assert the derived-rows gather engaged
+    # (it silently falls back to the legacy 8*TH row gather whenever a luma
+    # row block is not a 2-shift view of the extended gather).
+    fn.derive_rows = derive_rows
+    return fn

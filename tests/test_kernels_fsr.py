@@ -315,3 +315,48 @@ class TestDoubleWideAllPaths:
         ref = Pipeline(cfg, backend="xla", **kw).process(frames)
         got = Pipeline(cfg, backend=_backend(), **kw).process(frames)
         _assert_close(np.asarray(got).astype(int), np.asarray(ref).astype(int))
+
+
+class TestNvscalerDerivedRows:
+    def test_derive_rows_bit_identical_with_padded_tail(self):
+        """Opt-in derived-rows luma gather (NisDebugKnobs.derive_rows): the
+        8 luma row blocks collapse to one extended gather + 2-shift selects
+        (nis.py _find_shifts). Must be bit-identical to the legacy 8*TH row
+        gather on the CROPPED output — including when GY*TH overshoots OH,
+        where the clamp-duplicated padding rows are exempt from the shift
+        match (they are cropped, and requiring them engages nothing)."""
+        from openvr_fsr_tpu.kernels.nis import build_nvscaler, NisDebugKnobs
+        from openvr_fsr_tpu.core import constants as C
+
+        h, w, oh, ow = 48, 64, 64, 88            # band_rows=24: GY*TH=72>64
+        fc = C.foveation_constants(ow, oh, 0.5, (0.5, 0.5), (0.5, 0.5), False)
+        centres = np.asarray(
+            [[*fc.centre_left, *fc.centre_right, fc.radius_sq]], np.int64)
+        nis_cfg = C.nvscaler_update_config(0.9, w, h, w, h, ow, oh, ow, oh)
+        rng = np.random.default_rng(17)
+        img = rng.integers(0, 2**32, (1, h, w), dtype=np.uint32)
+        derived = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                                 centres=centres, interpret=True,
+                                 band_rows=24,
+                                 knobs=NisDebugKnobs(derive_rows=True))
+        legacy = build_nvscaler(1, h, w, ow, oh, nis_cfg=nis_cfg,
+                                centres=centres, interpret=True, band_rows=24)
+        assert derived.derive_rows and not legacy.derive_rows
+        a, b = np.asarray(derived(img)), np.asarray(legacy(img))
+        assert np.array_equal(a, b)
+
+    def test_derive_rows_engages_at_headline_geometry(self):
+        """Host-side only: the 2-shift structure must hold at the baseline
+        config's working resolution (1683x1869 -> 2244x2492), where the
+        last band carries clamp-duplicated padding rows."""
+        from openvr_fsr_tpu.kernels.nis import build_nvscaler, NisDebugKnobs
+        from openvr_fsr_tpu.core import constants as C
+
+        h, w, ow, oh = 1869, 1683, 2244, 2492
+        fc = C.foveation_constants(ow, oh, 0.5, (0.5, 0.5), (0.5, 0.5), False)
+        centres = np.asarray(
+            [[*fc.centre_left, *fc.centre_right, fc.radius_sq]] * 2, np.int64)
+        nis_cfg = C.nvscaler_update_config(0.7, w, h, w, h, ow, oh, ow, oh)
+        fn = build_nvscaler(2, h, w, ow, oh, nis_cfg=nis_cfg, centres=centres,
+                            knobs=NisDebugKnobs(derive_rows=True))
+        assert fn.derive_rows
