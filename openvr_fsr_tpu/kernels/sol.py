@@ -32,7 +32,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import _band as BD
 
-__all__ = ["build_dma_floor", "build_vpu_rate", "vpu_cycle"]
+__all__ = ["build_dma_floor", "build_vpu_rate", "build_vmem_rate",
+           "build_mxu_rate", "vpu_cycle"]
 
 
 def build_dma_floor(geom, interpret=False):
@@ -168,4 +169,102 @@ def build_vpu_rate(k, th_e=130, chunk=128, steps=256, interpret=False):
     fn.elems = th_e * chunk
     fn.steps = int(steps)
     fn.k = k
+    return fn
+
+
+def build_vmem_rate(k, th_e=130, chunk=128, steps=256, dtype=jnp.float32,
+                    interpret=False):
+    """Sustained VMEM plane-load throughput probe at band-kernel shapes.
+
+    Each grid step folds `k` distinct (th_e, chunk) planes of a
+    VMEM-resident block into 8 rotating f32 accumulators with ONE add
+    each (ILP 8) — the same load-plane-and-accumulate machine as the
+    fused kernel's tap consumption (kernels/fsr._easu_vals), with the
+    arithmetic reduced to the single op that forces the load. Slope over
+    two k values cancels launch/grid overhead:
+    bytes_rate = d(k * th_e * chunk * itemsize) / d(time). tools/vpu_audit
+    prices the stages' tap/scratch plane traffic with this rate — the
+    VMEM analog of build_dma_floor's HBM bound, and the honest floor for
+    stages whose jaxpr op count is far below their measured time (a stage
+    can be load-bound long before it is flop-bound).
+    """
+    k = int(k)
+    isz = jnp.dtype(dtype).itemsize
+
+    def kernel(x_ref, out_ref):
+        accs = [jnp.full((th_e, chunk), np.float32(j + 1), jnp.float32)
+                for j in range(8)]
+        for j in range(k):
+            accs[j % 8] = accs[j % 8] + x_ref[j].astype(jnp.float32)
+        acc = accs[0]
+        for a in accs[1:]:
+            acc = acc + a
+        out_ref[...] = acc[:8]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(int(steps),),
+        in_specs=[pl.BlockSpec((k, th_e, chunk), lambda i: (0, 0, 0))],
+        out_specs=pl.BlockSpec((8, chunk), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, chunk), jnp.float32),
+        interpret=interpret,
+    )
+
+    def fn(x):
+        assert x.shape == (k, th_e, chunk), x.shape
+        return call(x)
+
+    fn.bytes_per_step = k * th_e * chunk * isz
+    fn.steps = int(steps)
+    fn.k = k
+    return fn
+
+
+def build_mxu_rate(k, tile=128, steps=64, interpret=False):
+    """Sustained in-kernel MXU throughput probe at gather-matmul shapes.
+
+    Each grid step runs `k` chained bf16 matmul rounds over 8 independent
+    (tile, tile) streams (s <- bf16(s) @ W, f32 accumulate — the same
+    operand/accumulate types as the kernels' one-hot gather matmuls, whose
+    per-matmul operand sizes are ~(130, IH~128-192) x (IH, 128)). Chaining
+    defeats loop-invariant hoisting; timing two k values and taking the
+    slope cancels launch/DMA/store overhead: rate = d(MACs)/d(time).
+    tools/vpu_audit.py converts the fused kernel's jaxpr-counted dot MACs
+    into a compute floor with this rate — the MXU analog of build_vpu_rate,
+    measured with the SAME MAC meter so counting bias cancels.
+    """
+    k = int(k)
+
+    def kernel(x_ref, w_ref, out_ref):
+        w = w_ref[...].astype(jnp.bfloat16)
+        streams = [x_ref[...] * np.float32(0.125 * (j + 1))
+                   for j in range(8)]
+        for _ in range(k):
+            streams = [
+                jax.lax.dot(s.astype(jnp.bfloat16), w,
+                            preferred_element_type=jnp.float32)
+                * np.float32(1e-3)
+                for s in streams]
+        acc = streams[0]
+        for s in streams[1:]:
+            acc = acc + s
+        out_ref[...] = acc[:8]
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(int(steps),),
+        in_specs=[pl.BlockSpec((tile, tile), lambda i: (0, 0)),
+                  pl.BlockSpec((tile, tile), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((8, tile), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, tile), jnp.float32),
+        interpret=interpret,
+    )
+
+    def fn(x, w):
+        assert x.shape == (tile, tile) and w.shape == (tile, tile)
+        return call(x, w)
+
+    fn.steps = int(steps)
+    fn.k = k
+    fn.tile = int(tile)
     return fn

@@ -5,8 +5,12 @@ must interleave variants within one process: each round measures every
 variant once, and per-variant medians of per-round times are reported.
 
 Usage: python tools/ab_fsr.py FLAG=VALUE ... [--radius R] [--rounds N]
+                              [--check]
 e.g.   python tools/ab_fsr.py _EPI_SPECIALIZE=False
 builds the baseline (current defaults) and one variant per FLAG=VALUE arg.
+--check additionally asserts each variant's output is BITWISE equal to the
+baseline on-chip (for knobs that claim exactness, e.g. mm_bf16_out /
+no_tap_split — not for the output-wrong profiling probes).
 """
 
 import statistics
@@ -34,6 +38,9 @@ def main():
     if "--rounds" in args:
         i = args.index("--rounds")
         rounds = int(args[i + 1]); del args[i:i + 2]
+    check = "--check" in args
+    if check:
+        args.remove("--check")
 
     h_in, w_in, out_w, out_h = 1869, 1683, 2244, 2492
     fc = C.foveation_constants(out_w, out_h, radius, (0.5, 0.5), (0.5, 0.5),
@@ -63,6 +70,13 @@ def main():
         variants.append((a, {k: eval(v)}))
 
     fns = [(name, build(flags)) for name, flags in variants]
+
+    if check:
+        base = np.asarray(fns[0][1](imgs[0]))
+        for name, fn in fns[1:]:
+            eq = np.array_equal(base, np.asarray(fn(imgs[0])))
+            print(f"  {name}: bitwise_equal={eq}")
+            assert eq, f"{name} is not bit-identical to baseline"
 
     def once(fn, iters=25):
         t0 = time.perf_counter()

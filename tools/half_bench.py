@@ -119,9 +119,13 @@ def main():
               f"max LSB {d.max()}, PSNR {results[name]['psnr_db']} dB",
               file=sys.stderr, flush=True)
 
+    from openvr_fsr_tpu.utils.timing import hbm_calibration
+    rbw, wbw = hbm_calibration()
     results["_meta"] = {
         "config": "stereo pair, sharpness 0.9, radius 0.5, packed-u32 "
                   "serving input, headline geometry per path",
+        "session_hbm_read_gbs": round(rbw / 1e9, 1),
+        "session_hbm_write_gbs": round(wbw / 1e9, 1),
         "reference_analog": "ffx_fsr1.h:445-594,874+ (FsrEasuH/FsrRcasH), "
                             "NIS_Scaler.h:141-148 (NIS_USE_HALF_PRECISION)",
         "interpretation": "serving paths are memory-bound at the DMA floor "

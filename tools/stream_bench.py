@@ -226,7 +226,9 @@ def main():
 
     if pairs_s >= args.fps * 0.98:
         verdict = "pass"
-        print(f"PASS: sustained 2-eye x {args.fps:.0f} fps end-to-end")
+        print(f"PASS: sustained {pairs_s:.1f} stereo pairs/s against the "
+              f"{args.fps:.0f} fps target (>=98% — the paced producer "
+              "plus ring warm-up costs up to 2% of the window)")
     elif not args.device_resident and up_gbs < need_gbs:
         verdict = "transport_bound"
         print(f"transport-bound: upload path measured {up_gbs:.2f} GB/s < "
@@ -239,8 +241,14 @@ def main():
               f"chip (see tools/microbench.py calibrate for device rates)")
 
     if args.out:
+        from openvr_fsr_tpu.utils.timing import hbm_calibration
+        rbw, wbw = hbm_calibration()
         row = {
             "metric": "stream_sustained_stereo_pairs_per_s_2244x2492",
+            # same-session HBM rates: the dev chip drifts ~35% between
+            # sessions, so absolute pairs/s are only comparable through this
+            "session_hbm_read_gbs": round(rbw / 1e9, 1),
+            "session_hbm_write_gbs": round(wbw / 1e9, 1),
             "value": round(pairs_s, 1),
             "unit": "pairs/s",
             "target_fps": args.fps,
@@ -255,6 +263,8 @@ def main():
                                 if len(lat_ms) else None),
             "ring_dropped": st["dropped"],
             "verdict": verdict,
+            "pass_rule": "value >= target_fps * 0.98 (paced producer + "
+                         "ring warm-up jitter)",
         }
         with open(args.out, "w") as f:
             json.dump(row, f, indent=1)
