@@ -135,6 +135,15 @@ class DebugKnobs:
     core_one_fma: bool = False    # easu_core -> mean of the 12 taps
     rcas_move: bool = False       # rcas_core -> 5-tap average (keeps the
                                   # scratch reads + lane rotates + select)
+    # r5 VMEM-traffic experiment: emit the gather matmuls' outputs as bf16
+    # instead of f32 (preferred_element_type). 8-bit texels are integers
+    # <= 255 = exactly representable in bf16 (and every one-hot partial sum
+    # is 0 or the texel), so the downcast is bit-exact on the packed path;
+    # the tap planes then cost half the VMEM write+read bytes. The f32
+    # tap value the core consumes is reconstructed by the existing
+    # `* inv_cmax` promotion. No-op (f32 out) on the 10-bit/force_highest
+    # paths, where texels exceed bf16's 8-bit mantissa.
+    mm_bf16_out: bool = False
     # Disable the r5 band-class-gated epilogue (the production default):
     # bands fully outside the foveation circle skip the RCAS math and
     # store the quantized passthrough directly — bit-exact, since their
@@ -468,16 +477,21 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
             return _RB + c * 2 * TP + (0 if dy == -1 else TP)
         return c * N_EASU + _DYI[dy] * TP
 
+    # Gather-matmul output dtype: bf16 under the mm_bf16_out experiment on
+    # the exact path (integers <= 255 round-trip bf16 exactly), f32 else.
+    mm_out_dt = (jnp.bfloat16 if kn.mm_bf16_out and pol.exact_bf16
+                 else jnp.float32)
+
     def _mm(a, b):
         return jax.lax.dot_general(
             a.astype(mm_dtype), b.astype(mm_dtype),
             (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
+            precision=mm_prec, preferred_element_type=mm_out_dt)
 
     def _mm2(a, b):  # operands already mm_dtype (G scratch / col one-hots)
         return jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=jnp.float32)
+            precision=mm_prec, preferred_element_type=mm_out_dt)
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,
