@@ -479,19 +479,32 @@ def build_fsr_fused(batch, in_h, in_w, out_w, out_h, *, sharpness,
 
     # Gather-matmul output dtype: bf16 under the mm_bf16_out experiment on
     # the exact path (integers <= 255 round-trip bf16 exactly), f32 else.
-    mm_out_dt = (jnp.bfloat16 if kn.mm_bf16_out and pol.exact_bf16
-                 else jnp.float32)
+    # Mosaic requires the matmul ACCUMULATOR to stay 32-bit
+    # (preferred_element_type=bf16 fails kernel verification), so the
+    # narrowing is an explicit convert on the f32 result — the stored
+    # tap arrays are bf16, the accumulate is untouched. The knob-off path
+    # emits no convert at all so its jaxpr (and compile cache) is
+    # unchanged. Exactness note: the matmul outputs are gathered integer
+    # texels <= 255, so the bf16 round-trip is value-exact; on CPU
+    # interpret the two variants still flip ~1e-5 of texels by 1 LSB
+    # because XLA:CPU fuses/contracts the two (different) jaxprs
+    # differently (the cross-jaxpr FMA noise documented in
+    # tests/test_kernels_fsr.py's header) — the authoritative bitwise
+    # check is tools/ab_fsr.py --check on the TPU chip.
+    _mm_narrow = kn.mm_bf16_out and pol.exact_bf16
 
     def _mm(a, b):
-        return jax.lax.dot_general(
+        r = jax.lax.dot_general(
             a.astype(mm_dtype), b.astype(mm_dtype),
             (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=mm_out_dt)
+            precision=mm_prec, preferred_element_type=jnp.float32)
+        return r.astype(jnp.bfloat16) if _mm_narrow else r
 
     def _mm2(a, b):  # operands already mm_dtype (G scratch / col one-hots)
-        return jax.lax.dot_general(
+        r = jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())),
-            precision=mm_prec, preferred_element_type=mm_out_dt)
+            precision=mm_prec, preferred_element_type=jnp.float32)
+        return r.astype(jnp.bfloat16) if _mm_narrow else r
 
     def kernel(oy_ref, cls_ref, bcls_ref,
                img, mst_r, rst_r, sst_r, ppy_r, fby_r, ppx_r, fbx_r, dym_r,

@@ -76,10 +76,20 @@ def build_perf_block():
     if e8k:
         rows = e8k if isinstance(e8k, list) else \
             e8k.get("rows", [e8k]) if isinstance(e8k, dict) else [e8k]
+        # Error rows (e.g. the tunnel's HTTP-413 compile-size cap at
+        # batch 8/16) carry no 'value' — summarize them honestly.
+        ok = [r for r in rows if "value" in r]
+        bad = [r for r in rows if "value" not in r]
         cells = ", ".join(f"b{r['local_batch']}: {r['value']:.1f} ms"
-                          for r in rows)
-        L.append(f"| FSR 8K (7680×4320) per frame | — | {cells} "
-                 f"({rows[-1]['mpix_per_s_per_chip']:.0f} Mpix/s/chip) | — |")
+                          for r in ok)
+        if bad:
+            cells += (f"; b{'/'.join(str(r['local_batch']) for r in bad)}"
+                      " blocked by the dev tunnel's compile-size cap "
+                      "(HTTP 413)")
+        if ok:
+            L.append(f"| FSR 8K (7680×4320) per frame | — | {cells} "
+                     f"({ok[-1]['mpix_per_s_per_chip']:.0f} Mpix/s/chip)"
+                     " | — |")
     L.append("")
     src = ", ".join(n for n in (bench_name, paths_name) if n)
     L.append(f"Numbers are regenerated from `{src}` by "

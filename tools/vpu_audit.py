@@ -300,8 +300,13 @@ def main():
     vmem_rate, vmem_slopes = paired_slope(lambda: t_ms(v_lo, (x_lo,)),
                                           lambda: t_ms(v_hi, (x_hi,)),
                                           d_bytes)
+    # round(x) with no ndigits coerces to int and raises on NaN pairs
+    # (dt<=0 under timing drift), so keep NaN-safe.
+    def _gbs(s):
+        return round(s / 1e9) if np.isfinite(s) else None
+
     print(f"vmem plane-load rate: {vmem_rate / 1e9:.0f} GB/s, per-pair "
-          f"{[round(s / 1e9) for s in vmem_slopes]}", flush=True)
+          f"{[_gbs(s) for s in vmem_slopes]}", flush=True)
 
     rate_meta = {
         "vpu_rate_tops": round(rate / 1e12, 3),
@@ -309,7 +314,7 @@ def main():
         "mxu_rate_tmacs": round(mxu_rate / 1e12, 3),
         "mxu_pair_slopes_tmacs": [round(s / 1e12, 2) for s in mxu_slopes],
         "vmem_load_gbs": round(vmem_rate / 1e9, 1),
-        "vmem_pair_slopes_gbs": [round(s / 1e9) for s in vmem_slopes],
+        "vmem_pair_slopes_gbs": [_gbs(s) for s in vmem_slopes],
         "rate_method": "median of interleaved lo/hi paired slopes "
                        "(sol.build_vpu_rate / build_mxu_rate / "
                        "build_vmem_rate), same jaxpr op/MAC meter for "
