@@ -140,18 +140,45 @@ def build_vpu_rate(k, th_e=130, chunk=128, steps=256, interpret=False):
     DMA and store overhead: rate = d(ops)/d(time). tools/vpu_audit.py uses
     this rate to convert the EASU/RCAS cores' jaxpr op counts into a
     compute floor the way build_dma_floor bounds memory traffic.
+
+    Three structural guards keep every op of every grid step live (each
+    was a real fabrication mode in the r05 session): (1) the seed is
+    perturbed by program_id so no step recomputes another's values,
+    (2) the store ACCUMULATES into the revisited output block so no
+    step's result is a dead store Mosaic can eliminate with the compute
+    feeding it, and (3) the store consumes ALL th_e rows via an 8-row
+    fold — storing `acc[:8]` lets Mosaic row-slice the entire chain
+    through DCE and compute (8, chunk) instead of (th_e, chunk), a 16x
+    over-rate (the k-independent 1.4 ms walls and "6000 Tops/s" slopes).
     """
     k = int(k)
 
+    def _fold8(acc):
+        red = acc[0:8]
+        for r in range(8, th_e - 7, 8):
+            red = red + acc[r:r + 8]
+        if th_e % 8:
+            red = red + acc[th_e - 8:th_e]
+        return red
+
     def kernel(x_ref, out_ref):
-        x = x_ref[...]
+        i = pl.program_id(0)
+        x = x_ref[...] + i.astype(jnp.float32) * np.float32(2 ** -20)
         streams = [x * np.float32(0.125 * (j + 1)) for j in range(8)]
         for _ in range(k):
             streams = vpu_cycle(streams, x)
         acc = streams[0]
         for s in streams[1:]:
             acc = acc + s
-        out_ref[...] = acc[:8]
+        red = _fold8(acc)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = red
+
+        @pl.when(i != 0)
+        def _accum():
+            out_ref[...] += red
 
     call = pl.pallas_call(
         kernel,
@@ -187,19 +214,45 @@ def build_vmem_rate(k, th_e=130, chunk=128, steps=256, dtype=jnp.float32,
     VMEM analog of build_dma_floor's HBM bound, and the honest floor for
     stages whose jaxpr op count is far below their measured time (a stage
     can be load-bound long before it is flop-bound).
+
+    The same three anti-DCE guards as build_vpu_rate apply: Horner chain
+    in a program_id-derived scalar (a plain sum of the same planes is
+    loop-invariant), accumulate-into-output (an overwritten block is a
+    dead store below the last grid step), and an 8-row fold of ALL rows
+    (storing `acc[:8]` lets Mosaic shrink every plane LOAD to its first
+    8 rows — a 16x bandwidth fabrication).
     """
     k = int(k)
     isz = jnp.dtype(dtype).itemsize
 
+    def _fold8(acc):
+        red = acc[0:8]
+        for r in range(8, th_e - 7, 8):
+            red = red + acc[r:r + 8]
+        if th_e % 8:
+            red = red + acc[th_e - 8:th_e]
+        return red
+
     def kernel(x_ref, out_ref):
+        i = pl.program_id(0)
+        s = (np.float32(1.0)
+             - i.astype(jnp.float32) * np.float32(2 ** -20))
         accs = [jnp.full((th_e, chunk), np.float32(j + 1), jnp.float32)
                 for j in range(8)]
         for j in range(k):
-            accs[j % 8] = accs[j % 8] + x_ref[j].astype(jnp.float32)
+            accs[j % 8] = accs[j % 8] * s + x_ref[j].astype(jnp.float32)
         acc = accs[0]
         for a in accs[1:]:
             acc = acc + a
-        out_ref[...] = acc[:8]
+        red = _fold8(acc)
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = red
+
+        @pl.when(i != 0)
+        def _accum():
+            out_ref[...] += red
 
     call = pl.pallas_call(
         kernel,
@@ -236,8 +289,10 @@ def build_mxu_rate(k, tile=128, steps=64, interpret=False):
     k = int(k)
 
     def kernel(x_ref, w_ref, out_ref):
+        i = pl.program_id(0)
+        step = i.astype(jnp.float32) * np.float32(2 ** -20)
         w = w_ref[...].astype(jnp.bfloat16)
-        streams = [x_ref[...] * np.float32(0.125 * (j + 1))
+        streams = [(x_ref[...] + step) * np.float32(0.125 * (j + 1))
                    for j in range(8)]
         for _ in range(k):
             streams = [
@@ -248,7 +303,20 @@ def build_mxu_rate(k, tile=128, steps=64, interpret=False):
         acc = streams[0]
         for s in streams[1:]:
             acc = acc + s
-        out_ref[...] = acc[:8]
+        # 8-row fold of all tile rows + accumulate-into-output: the same
+        # anti-DCE guards as build_vpu_rate (row-sliced DCE through the
+        # dot chain would shrink every matmul to an (8, tile) operand).
+        red = acc[0:8]
+        for r in range(8, tile, 8):
+            red = red + acc[r:r + 8]
+
+        @pl.when(i == 0)
+        def _init():
+            out_ref[...] = red
+
+        @pl.when(i != 0)
+        def _accum():
+            out_ref[...] += red
 
     call = pl.pallas_call(
         kernel,

@@ -255,10 +255,11 @@ def main():
         _ = np.asarray(y[0, 0])
         return (time.perf_counter() - t0) / iters * 1e3
 
-    # Heavy hi-k so the compute delta dominates dispatch noise (the hi
-    # call's math is ~half its wall time at the expected rates).
+    # Heavy hi-k so the compute delta dominates dispatch noise: at the
+    # ~5 Tops/s true VPU rate (post anti-DCE fix) the hi call is ~17 ms
+    # against ~4 ms of tunnel/launch wall, so the slope is ~4:1 signal.
     ks = (8, 48) if quick else (16, 144)
-    steps = 64 if quick else 256
+    steps = 64 if quick else 1024
     f_lo = jax.jit(sol.build_vpu_rate(ks[0], steps=steps,
                                       interpret=not on_tpu))
     f_hi = jax.jit(sol.build_vpu_rate(ks[1], steps=steps,
@@ -287,7 +288,7 @@ def main():
           f"{[round(s / 1e12, 2) for s in mxu_slopes]}", flush=True)
 
     vks = (8, 48) if quick else (16, 112)
-    vsteps = 64 if quick else 256
+    vsteps = 64 if quick else 1024
     v_lo = jax.jit(sol.build_vmem_rate(vks[0], steps=vsteps,
                                        interpret=not on_tpu))
     v_hi = jax.jit(sol.build_vmem_rate(vks[1], steps=vsteps,
@@ -308,11 +309,14 @@ def main():
     print(f"vmem plane-load rate: {vmem_rate / 1e9:.0f} GB/s, per-pair "
           f"{[_gbs(s) for s in vmem_slopes]}", flush=True)
 
+    def _t(s):  # NaN-safe (NaN is invalid JSON; a dropped pair becomes null)
+        return round(s / 1e12, 2) if np.isfinite(s) else None
+
     rate_meta = {
         "vpu_rate_tops": round(rate / 1e12, 3),
-        "vpu_pair_slopes_tops": [round(s / 1e12, 2) for s in vpu_slopes],
+        "vpu_pair_slopes_tops": [_t(s) for s in vpu_slopes],
         "mxu_rate_tmacs": round(mxu_rate / 1e12, 3),
-        "mxu_pair_slopes_tmacs": [round(s / 1e12, 2) for s in mxu_slopes],
+        "mxu_pair_slopes_tmacs": [_t(s) for s in mxu_slopes],
         "vmem_load_gbs": round(vmem_rate / 1e9, 1),
         "vmem_pair_slopes_gbs": [_gbs(s) for s in vmem_slopes],
         "rate_method": "median of interleaved lo/hi paired slopes "
